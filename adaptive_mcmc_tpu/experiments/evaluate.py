@@ -1,0 +1,181 @@
+"""Sample-quality evaluation against gold-standard reference draws.
+
+Rebuild of the reference's eval scripts (eval_eight_schools.py:54-89 etc.):
+per seed, compare 10k thinned draws to PosteriorDB reference draws in the
+standard *comparison space* — scale parameters log-transformed,
+non-centered theta recovered from constrained reference draws — with
+moment-RMSE (p=1), exact 1-1 Wasserstein, and median-heuristic MMD, and
+write a CSV.
+
+Comparison spaces (must match eval_*.py exactly):
+  * eight_schools:  [mu, log(tau), theta_base(8)]  (eval_eight_schools.py:39-51)
+  * diamonds:       [Intercept, b(24), log(sigma)] (eval_diamonds.py)
+  * kidiq:          [beta(3), log(sigma)]          (eval_kidiq_kidscore.py)
+These are exactly this framework's unconstrained flat layouts, so 'the
+comparison space' is simply the unconstrained samples — no per-site
+surgery needed.
+
+Gold-standard draws come from PosteriorDB when present; otherwise
+:func:`make_reference_draws` generates a self-consistent gold standard
+with a long, heavily-thinned NUTS (or ASSS) run.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptive_mcmc_tpu.experiments.runner import TARGETS, build_kernel
+from adaptive_mcmc_tpu.metrics import (
+    mmd_heuristic,
+    pth_moment_rmse,
+    wasserstein_dist11_p,
+)
+
+
+def make_reference_draws(
+    target_name: str,
+    n_draws: int = 10_000,
+    *,
+    kernel_name: str = "nuts",
+    rng_seed: int = 999,
+    cache_dir: str = "mcmc_runs/reference_draws",
+) -> np.ndarray:
+    """Self-consistent gold standard: many parallel chains, long warmup,
+    heavy thinning.  Cached to disk."""
+    cache = Path(cache_dir) / f"{target_name}_{kernel_name}.npy"
+    if cache.exists():
+        return np.load(cache)
+    from adaptive_mcmc_tpu.infer.mcmc import run_mcmc
+
+    target = TARGETS[target_name]()
+    n_chains = 50
+    per_chain = n_draws // n_chains
+    kernel = build_kernel(
+        kernel_name, target, lr_decay=2.0 / 3.0, num_warmup=2000
+    )
+    samples, _, _ = run_mcmc(
+        kernel,
+        jax.random.PRNGKey(rng_seed),
+        num_warmup=2000,
+        num_samples=per_chain * 20,
+        thinning=20,
+        n_chains=n_chains,
+    )
+    out = np.asarray(samples).reshape(-1, target.dim)[:n_draws]
+    cache.parent.mkdir(parents=True, exist_ok=True)
+    np.save(cache, out)
+    return out
+
+
+def posteriordb_reference_draws(target_name: str) -> Optional[np.ndarray]:
+    """Load PosteriorDB gold-standard draws mapped into the comparison
+    space, if a local PosteriorDB clone is available."""
+    import os
+
+    wd = os.environ.get("MCMC_WORKDIR")
+    if not wd:
+        return None
+    # PosteriorDB layout: reference_posteriors/draws/draws/<name>.json(.zip)
+    name_map = {
+        "eight_schools": "eight_schools-eight_schools_noncentered",
+        "diamonds": "diamonds-diamonds",
+        "kidiq": "kidiq-kidscore_momhsiq",
+    }
+    root = (
+        Path(wd) / "posteriordb" / "posterior_database"
+        / "reference_posteriors" / "draws" / "draws"
+    )
+    pname = name_map.get(target_name)
+    if pname is None:
+        return None
+    blob = None
+    for cand in (root / f"{pname}.json", root / f"{pname}.json.zip"):
+        if cand.exists():
+            if cand.suffix == ".zip":
+                import zipfile
+
+                with zipfile.ZipFile(cand) as zf:
+                    with zf.open(zf.namelist()[0]) as f:
+                        blob = json.load(f)
+            else:
+                blob = json.loads(cand.read_text())
+            break
+    if blob is None:
+        return None
+    # blob: list of chains, each {param_name: [draws]}
+    chains = blob
+    cols: dict[str, np.ndarray] = {}
+    for c in chains:
+        for k, v in c.items():
+            cols.setdefault(k, []).append(np.asarray(v, np.float64))
+    cols = {k: np.concatenate(v) for k, v in cols.items()}
+
+    if target_name == "eight_schools":
+        mu = cols["mu"]
+        tau = cols["tau"]
+        thetas = np.stack(
+            [cols[f"theta[{i+1}]"] for i in range(8)], axis=1
+        )
+        theta_base = (thetas - mu[:, None]) / tau[:, None]
+        return np.concatenate(
+            [mu[:, None], np.log(tau)[:, None], theta_base], axis=1
+        ).astype(np.float32)
+    if target_name == "diamonds":
+        b = np.stack([cols[f"b[{i+1}]"] for i in range(24)], axis=1)
+        return np.concatenate(
+            [
+                cols["Intercept"][:, None],
+                b,
+                np.log(cols["sigma"])[:, None],
+            ],
+            axis=1,
+        ).astype(np.float32)
+    if target_name == "kidiq":
+        beta = np.stack([cols[f"beta[{i+1}]"] for i in range(3)], axis=1)
+        return np.concatenate(
+            [beta, np.log(cols["sigma"])[:, None]], axis=1
+        ).astype(np.float32)
+    return None
+
+
+def get_reference_draws(target_name: str, n_draws: int = 10_000) -> np.ndarray:
+    ref = posteriordb_reference_draws(target_name)
+    if ref is not None:
+        return ref
+    return make_reference_draws(target_name, n_draws)
+
+
+def evaluate_run(
+    run_npz: str | Path,
+    reference: np.ndarray,
+    out_csv: Optional[str | Path] = None,
+):
+    """Per-seed metric rows for a saved w_eval run.  Returns a pandas
+    DataFrame (and writes CSV if requested)."""
+    import pandas as pd
+
+    with np.load(run_npz, allow_pickle=False) as data:
+        samples = data["samples"]  # (seeds, draws, dim)
+    y = jnp.asarray(reference)
+    rows = []
+    for seed in range(samples.shape[0]):
+        x = jnp.asarray(samples[seed])
+        rows.append(
+            {
+                "rng_seed": seed,
+                "rmse_means": float(pth_moment_rmse(x, y, p=1.0)),
+                "wasserstein": wasserstein_dist11_p(x, y),
+                "mmd": float(mmd_heuristic(x, y)),
+            }
+        )
+    df = pd.DataFrame.from_records(rows)
+    if out_csv is not None:
+        Path(out_csv).parent.mkdir(parents=True, exist_ok=True)
+        df.to_csv(out_csv)
+    return df

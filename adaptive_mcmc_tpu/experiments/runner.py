@@ -1,0 +1,168 @@
+"""Experiment runners: w_eval and lr_decay sweeps.
+
+The reference runs 100 seeds x 3 kernels as sequential Python loops over
+full MCMC runs (run_eight_schools_wasserstein.py:60-70 — hours of CPU).
+TPU-native shape: the seed axis IS a chain axis.  One batched run executes
+all seeds simultaneously (each "chain" = one seed's independent chain,
+sharded over the mesh), so a 100-seed sweep costs one program launch.
+
+Outputs land as .npz per (target, kernel): thinned samples
+(seeds, draws, dim) + extra-field trajectories + config JSON, with a
+SweepManifest for restartability."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from adaptive_mcmc_tpu import models as _models
+from adaptive_mcmc_tpu import kernels as _kernels
+from adaptive_mcmc_tpu.experiments.configs import LR_DECAYS, RunConfig
+from adaptive_mcmc_tpu.infer.collect import collect_states_logscale
+from adaptive_mcmc_tpu.utils.checkpoint import SweepManifest
+
+TARGETS: Dict[str, Callable] = {
+    "eight_schools": _models.eight_schools_noncentered,
+    "eight_schools_centered": _models.eight_schools_centered,
+    "diamonds": _models.diamonds,
+    "kidiq": _models.kidiq,
+}
+
+
+def build_kernel(name: str, target, *, lr_decay: float, num_warmup: int):
+    if name in ("arwmh", "rwm"):
+        cfg = _kernels.ARWMHConfig(
+            lr_decay=lr_decay, num_warmup=num_warmup,
+            adapt=(name == "arwmh"),
+        )
+        return _kernels.arwmh(target, cfg)
+    if name == "asss":
+        cfg = _kernels.ASSSConfig(lr_decay=lr_decay, num_warmup=num_warmup)
+        return _kernels.asss(target, cfg)
+    if name == "nuts":
+        from adaptive_mcmc_tpu.kernels.nuts import NUTSConfig, nuts
+
+        return nuts(target, NUTSConfig(num_warmup=num_warmup))
+    if name == "sa":
+        from adaptive_mcmc_tpu.kernels.sa import SAConfig, sa
+
+        return sa(target, SAConfig(num_warmup=num_warmup))
+    raise ValueError(f"unknown kernel {name!r}")
+
+
+def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
+    """Run the w_eval experiment for one (target, kernel): all seeds as one
+    sharded chain batch; save thinned draws + PE + adapt-state trajectory
+    summary."""
+    from adaptive_mcmc_tpu.parallel import chain_mesh, run_mcmc_sharded
+
+    out_dir = Path(config.out_dir) / "w_eval" / config.target
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / f"{config.kernel}.npz"
+    manifest = SweepManifest(out_dir / "manifest.json")
+    key = f"{config.kernel}"
+    if manifest.is_done(key) and out_path.exists():
+        if verbose:
+            print(f"[skip] {out_path} already complete")
+        return out_path
+
+    target = TARGETS[config.target]()
+    kernel = build_kernel(
+        config.kernel, target,
+        lr_decay=config.lr_decay, num_warmup=config.num_warmup,
+    )
+    n_chains = config.n_seeds * config.chains_per_seed
+    mesh = chain_mesh(config.mesh_devices)
+    # pad chains to a mesh multiple
+    n_dev = mesh.devices.size
+    n_padded = ((n_chains + n_dev - 1) // n_dev) * n_dev
+
+    rng_key = jax.random.PRNGKey(config.seed0)
+    t0 = time.time()
+    samples, extras, last = run_mcmc_sharded(
+        kernel,
+        rng_key,
+        config.num_warmup,
+        config.num_samples,
+        thinning=config.thinning,
+        n_chains=n_padded,
+        mesh=mesh,
+        extra_fields=("potential_energy", "as_change")
+        if kernel.name in ("arwmh", "rwm", "asss")
+        else ("potential_energy",),
+    )
+    jax.block_until_ready(samples)
+    wall = time.time() - t0
+
+    samples = np.asarray(samples)[:, :n_chains]  # (draws, seeds, dim)
+    total_iters = (config.num_warmup + config.num_samples) * n_chains
+    meta = {
+        "config": json.loads(config.to_json()),
+        "wall_seconds": wall,
+        "chain_iters_per_sec": total_iters / wall,
+    }
+    np.savez_compressed(
+        out_path,
+        samples=np.swapaxes(samples, 0, 1),  # (seeds, draws, dim)
+        potential_energy=np.swapaxes(
+            np.asarray(extras["potential_energy"])[:, :n_chains], 0, 1
+        ),
+        meta=json.dumps(meta),
+    )
+    manifest.mark_done(key)
+    if verbose:
+        print(
+            f"[done] {out_path}: {total_iters / wall:,.0f} chain-iters/s "
+            f"({wall:.1f}s)"
+        )
+    return out_path
+
+
+def run_lr_decay(
+    target_name: str,
+    kernel_name: str,
+    *,
+    n_pow: int = 6,
+    n_seeds: int = 100,
+    lr_decays=LR_DECAYS,
+    out_dir: str = "mcmc_runs",
+    seed0: int = 0,
+    verbose: bool = True,
+):
+    """Log-scale state-trajectory sweep (run_*_lr_decay.py): for each
+    lr_decay, ONE batched run carries all seeds; saves position / PE /
+    as_change trajectories on the log grid."""
+    target = TARGETS[target_name]()
+    base = Path(out_dir) / "lr_decay" / target_name / kernel_name
+    manifest = SweepManifest(base / "manifest.json")
+    out_paths = []
+    for lr_decay in lr_decays:
+        tag = f"{lr_decay:.4g}"
+        out_path = base / f"decay_{tag}.npz"
+        if manifest.is_done(tag) and out_path.exists():
+            out_paths.append(out_path)
+            continue
+        kernel = build_kernel(
+            kernel_name, target, lr_decay=lr_decay, num_warmup=0
+        )
+        states, _ = collect_states_logscale(
+            kernel, jax.random.PRNGKey(seed0), n_pow=n_pow, n_chains=n_seeds
+        )
+        base.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            out_path,
+            i=np.asarray(states.i),
+            position=np.asarray(states.position),
+            potential_energy=np.asarray(states.potential_energy),
+            as_change=np.asarray(states.as_change),
+        )
+        manifest.mark_done(tag)
+        if verbose:
+            print(f"[done] {out_path}")
+        out_paths.append(out_path)
+    return out_paths

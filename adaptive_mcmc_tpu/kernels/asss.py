@@ -1,0 +1,240 @@
+"""ASSS — Adaptive Stereographic Slice Sampler.
+
+TPU-native rebuild of the reference kernel (asss.py:192-269): map the chain
+to the unit sphere S^d via an adaptively-whitened stereographic projection,
+slice-sample along a random great circle with bracket shrinkage, map back,
+and adapt (loc, scale) by the same running-mean / rank-1-Cholesky recursion
+as ARWMH (no step size — slice sampling is rejection-free).
+
+Semantics preserved (verified in tests/test_asss.py):
+  * whitening radius σ^{1/2} = (scale + ε I)·√d                (asss.py:218)
+  * transformed PE U(x(z)) + d·log(1 − z_{d+1})                (asss.py:222-225)
+  * tangent velocity: project N(0, I_{d+1}) orthogonal to z,
+    normalize                                                  (asss.py:231-233)
+  * slice level t = PE − log u                                 (asss.py:236-237)
+  * great-circle shrinkage: θ ~ U(0, 2π), bracket [θ−2π, θ],
+    shrink while PE(z_θ) > t or pole distance < ε; ≤ 50 iters,
+    bail-out θ = 0                                             (asss.py:59-96)
+  * adaptation + NaN guard identical to ARWMH                  (asss.py:246-255)
+  * as_change = ‖Δloc‖₂ + ‖Δscale‖_F                           (asss.py:259-260)
+
+TPU-first difference: the per-chain, data-dependent shrinkage ``while_loop``
+becomes ONE batched loop over all chains with per-chain active masks — the
+loop runs until every chain has landed (or hit the 50-iteration bound), and
+each trip evaluates the batched transformed potential once for the whole
+chain block (dense (C, d) work instead of C divergent scalar loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from adaptive_mcmc_tpu.kernels.base import (
+    Kernel,
+    adaptation_lr,
+    batch_positions,
+    nan_to_inf,
+    split_keys,
+)
+from adaptive_mcmc_tpu.ops.cholesky import adaptive_scale_update
+
+Array = jax.Array
+_TWO_PI = 6.283185307179586
+
+
+@dataclasses.dataclass(frozen=True)
+class ASSSConfig:
+    lr_decay: float = 2.0 / 3.0
+    eps: float = 1e-6
+    max_shrinkage_iters: int = 50
+    num_warmup: int = 0
+    adapt: bool = True
+
+
+class ASSSAdaptState(NamedTuple):
+    loc: Array    # (C, d)
+    scale: Array  # (C, d, d) lower-triangular
+
+
+class ASSSState(NamedTuple):
+    i: Array
+    position: Array           # (C, d)
+    potential_energy: Array   # (C,)
+    adapt_state: ASSSAdaptState
+    as_change: Array          # (C,)
+    rng_key: Array            # (C,) per-chain keys
+
+
+# --- batched stereographic maps (asss.py:33-56) ---------------------------
+
+def stereographic_project(x: Array, loc: Array, scale: Array) -> Array:
+    """R^d -> S^d, whitened by lower-triangular ``scale``; batched over a
+    leading chains axis."""
+    xs = x - loc
+    xr = lax.linalg.triangular_solve(
+        scale, xs[..., None], left_side=True, lower=True
+    )[..., 0]
+    nsq = jnp.sum(xr * xr, axis=-1, keepdims=True)
+    z_head = 2.0 * xr / (nsq + 1.0)
+    z_last = (nsq - 1.0) / (nsq + 1.0)
+    return jnp.concatenate([z_head, z_last], axis=-1)
+
+
+def stereographic_inverse(z: Array, loc: Array, scale: Array) -> Array:
+    """S^d -> R^d (batched)."""
+    x_base = z[..., :-1] / (1.0 - z[..., -1:])
+    return (
+        jnp.einsum("...ij,...j->...i", scale, x_base,
+                   precision=lax.Precision.HIGHEST)
+        + loc
+    )
+
+
+def _shrinkage_batched(
+    keys, z, v, t_pe, transformed_pe_fn, eps, max_iters
+):
+    """Batched great-circle shrinkage (asss.py:59-96).
+
+    keys: (C,) per-chain; z, v: (C, d+1); t_pe: (C,).  One while_loop over
+    the whole chain block: per-chain brackets shrink under an active mask,
+    and the transformed potential is evaluated densely for all chains each
+    trip.  Per-chain trip counts and RNG streams match the reference's
+    scalar loop (frozen chains stop consuming randomness).
+    """
+    keys_init, keys_loop = split_keys(keys, 2)
+    theta = jax.vmap(jax.random.uniform)(keys_init) * _TWO_PI
+    theta_min = theta - _TWO_PI
+    theta_max = theta
+
+    def is_bad(theta):
+        z_theta = z * jnp.cos(theta)[:, None] + v * jnp.sin(theta)[:, None]
+        pe = nan_to_inf(transformed_pe_fn(z_theta))
+        return (pe > t_pe) | ((1.0 - z_theta[:, -1]) < eps)
+
+    bad0 = is_bad(theta)
+    iters0 = jnp.zeros(theta.shape, jnp.int32)
+
+    def cond(val):
+        _, _, _, _, iters, bad = val
+        return jnp.any(bad & (iters < max_iters))
+
+    def body(val):
+        keys, theta, tmin, tmax, iters, bad = val
+        active = bad & (iters < max_iters)
+        keys_smp, keys_next = split_keys(keys, 2)
+        tmin_new = jnp.where(active & (theta < 0.0), theta, tmin)
+        tmax_new = jnp.where(active & (theta >= 0.0), theta, tmax)
+        u = jax.vmap(jax.random.uniform)(keys_smp)
+        theta_prop = tmin_new + u * (tmax_new - tmin_new)
+        theta_new = jnp.where(active, theta_prop, theta)
+        keys_new = jax.tree.map(
+            lambda a, b: jnp.where(
+                active.reshape(active.shape + (1,) * (a.ndim - 1)), a, b
+            ),
+            keys_next, keys,
+        )
+        iters_new = iters + active.astype(jnp.int32)
+        bad_new = jnp.where(active, is_bad(theta_new), bad)
+        return (keys_new, theta_new, tmin_new, tmax_new, iters_new, bad_new)
+
+    _, theta_f, _, _, iters_f, _ = lax.while_loop(
+        cond, body, (keys_loop, theta, theta_min, theta_max, iters0, bad0)
+    )
+    theta_f = jnp.where(iters_f >= max_iters, 0.0, theta_f)
+    return z * jnp.cos(theta_f)[:, None] + v * jnp.sin(theta_f)[:, None]
+
+
+def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
+    d = target.dim
+    batched_potential = jax.vmap(target.potential_fn)
+    eye = jnp.eye(d, dtype=jnp.float32)
+
+    def init(
+        rng_key: Array,
+        n_chains: int = 1,
+        position: Optional[Array] = None,
+        adapt_state: Optional[ASSSAdaptState] = None,
+    ) -> ASSSState:
+        key_init, key_run = jax.random.split(rng_key)
+        pos = batch_positions(target, key_init, n_chains, position)
+        pe = nan_to_inf(batched_potential(pos))
+        if adapt_state is None:
+            adapt_state = ASSSAdaptState(
+                loc=pos, scale=jnp.broadcast_to(eye, (n_chains, d, d))
+            )
+        return ASSSState(
+            i=jnp.zeros((), jnp.int32),
+            position=pos,
+            potential_energy=pe,
+            adapt_state=adapt_state,
+            as_change=jnp.zeros((n_chains,)),
+            rng_key=jax.random.split(key_run, n_chains),
+        )
+
+    def step(state: ASSSState) -> ASSSState:
+        loc, scale = state.adapt_state
+        x = state.position
+        C = x.shape[0]
+
+        keys, keys_v, keys_t, keys_shrink = split_keys(state.rng_key, 4)
+
+        sigma_sqrt = (scale + config.eps * eye) * (d ** 0.5)
+
+        def transformed_pe(z):
+            x_flat = stereographic_inverse(z, loc, sigma_sqrt)
+            return batched_potential(x_flat) + d * jnp.log(1.0 - z[:, -1])
+
+        z = stereographic_project(x, loc, sigma_sqrt)
+        pe_t = transformed_pe(z)
+
+        v = jax.vmap(lambda k: jax.random.normal(k, (d + 1,)))(keys_v)
+        v = v - jnp.sum(v * z, axis=-1, keepdims=True) * z
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+        u_t = jax.vmap(jax.random.uniform)(keys_t)
+        t_pe = pe_t - jnp.log(u_t)
+
+        z_new = _shrinkage_batched(
+            keys_shrink, z, v, t_pe, transformed_pe,
+            config.eps, config.max_shrinkage_iters,
+        )
+
+        x_new = stereographic_inverse(z_new, loc, sigma_sqrt)
+        pe_new = nan_to_inf(batched_potential(x_new))
+
+        n, gamma = adaptation_lr(state.i, config.num_warmup, config.lr_decay)
+
+        if config.adapt:
+            delta = x_new - loc
+            loc_new = loc + gamma * delta
+            gammas = jnp.full((C,), gamma, jnp.float32)
+            scale_new = adaptive_scale_update(scale, delta, gammas)
+            as_change = jnp.linalg.norm(loc_new - loc, axis=-1) + (
+                jnp.linalg.norm(scale_new - scale, axis=(-2, -1))
+            )
+            adapt_new = ASSSAdaptState(loc_new, scale_new)
+        else:
+            adapt_new = state.adapt_state
+            as_change = jnp.zeros((C,))
+
+        return ASSSState(
+            i=state.i + 1,
+            position=x_new,
+            potential_energy=pe_new,
+            adapt_state=adapt_new,
+            as_change=as_change,
+            rng_key=keys,
+        )
+
+    return Kernel(
+        name="asss",
+        target=target,
+        config=config,
+        init=jax.jit(init, static_argnames=("n_chains",)),
+        step=jax.jit(step),
+    )

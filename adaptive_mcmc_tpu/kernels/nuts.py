@@ -1,0 +1,607 @@
+"""NUTS — No-U-Turn Sampler, self-contained and chain-batched.
+
+The reference delegates NUTS to NumPyro (numpyro_kernels.py:76-141) with
+defaults step_size=1.0, adapt_step_size=True, adapt_mass_matrix=True,
+dense_mass=False, target_accept_prob=0.8, max_tree_depth=10.  NumPyro is
+not a dependency of this framework, so NUTS is built from scratch here:
+
+* leapfrog integration with diagonal or dense mass matrix;
+* multinomial (progressive) sampling over the trajectory with biased
+  subtree acceptance — the modern Stan-style scheme;
+* ITERATIVE tree building inside ``lax.while_loop``s: the within-subtree
+  no-U-turn condition is checked with a checkpoint stack of depth
+  ``max_tree_depth`` (one balanced-subtree check per closing subtree —
+  derivation in ``_build_subtree``), so the whole transition is one XLA
+  program with static shapes;
+* warmup adaptation: dual-averaging step size (Hoffman & Gelman), Welford
+  covariance with Stan's init/window/term schedule (75/25-doubling/50),
+  step-size re-search at window boundaries;
+* divergence detection at max_delta_energy=1000 (NumPyro's default).
+
+Chain batching: the per-chain transition is written single-chain and
+``vmap``-ed — ``vmap`` of ``while_loop`` runs all chains in lockstep with
+masked updates, so heterogeneous tree depths across chains cost
+max-tree-time per batch row block, dense on the VPU (same trade NumPyro's
+vectorized NUTS makes, but here it also shards over the chain mesh axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from adaptive_mcmc_tpu.kernels.base import (
+    Kernel,
+    batch_positions,
+    nan_to_inf,
+    split_keys,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class NUTSConfig:
+    step_size: float = 1.0
+    adapt_step_size: bool = True
+    adapt_mass_matrix: bool = True
+    dense_mass: bool = False
+    target_accept_prob: float = 0.8
+    max_tree_depth: int = 10
+    num_warmup: int = 0
+    max_delta_energy: float = 1000.0
+
+
+class DAState(NamedTuple):
+    """Dual-averaging step-size adaptation (per chain)."""
+
+    t: Array
+    log_eps: Array
+    log_eps_avg: Array
+    h_bar: Array
+    mu: Array
+
+
+class WelfordState(NamedTuple):
+    count: Array   # scalar per chain
+    mean: Array    # (d,)
+    m2: Array      # (d,) diag or (d, d) dense
+
+
+class NUTSAdaptState(NamedTuple):
+    da: DAState
+    inv_mass: Array        # (d,) diag or (d, d) dense (M^-1)
+    chol_inv_mass: Array   # (d,) sqrt-diag or (d, d) lower chol of M^-1
+    welford: WelfordState
+
+
+class NUTSState(NamedTuple):
+    i: Array
+    position: Array          # (C, d)
+    potential_energy: Array  # (C,)
+    pe_grad: Array           # (C, d) cached gradient
+    mean_accept_prob: Array  # (C,)
+    num_steps: Array         # (C,) leapfrog steps in last transition
+    diverging: Array         # (C,) bool
+    adapt_state: NUTSAdaptState
+    rng_key: Array
+
+
+# ---------------------------------------------------------------------------
+# Mass-matrix algebra (diag & dense share one code path via ndim dispatch).
+# ---------------------------------------------------------------------------
+
+def _velocity(inv_mass, r):
+    """v = M^-1 r."""
+    if inv_mass.ndim == 1:
+        return inv_mass * r
+    return inv_mass @ r
+
+
+def _kinetic(inv_mass, r):
+    return 0.5 * jnp.dot(r, _velocity(inv_mass, r))
+
+
+def _sample_momentum(key, chol_inv_mass, d):
+    """r ~ N(0, M).  With C = chol(M^-1) (lower), M = C^-T C^-1, so
+    r = C^-T eps has the right covariance."""
+    eps = jax.random.normal(key, (d,))
+    if chol_inv_mass.ndim == 1:
+        return eps / chol_inv_mass
+    return jax.scipy.linalg.solve_triangular(
+        chol_inv_mass.T, eps, lower=False
+    )
+
+
+def _is_turning(inv_mass, r_first, r_last, rho):
+    v_first = _velocity(inv_mass, r_first)
+    v_last = _velocity(inv_mass, r_last)
+    return (jnp.dot(v_first, rho) <= 0.0) | (jnp.dot(v_last, rho) <= 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Warmup schedule (Stan's 75 / 25-doubling / 50 windows) as constant masks.
+# ---------------------------------------------------------------------------
+
+def build_warmup_schedule(num_warmup: int):
+    """Returns bool arrays (len num_warmup, possibly empty): whether the
+    Welford accumulator consumes iteration i, and whether a mass-matrix
+    window closes at i."""
+    in_window = np.zeros(max(num_warmup, 1), bool)
+    window_end = np.zeros(max(num_warmup, 1), bool)
+    if num_warmup >= 20:
+        init, term, base = 75, 50, 25
+        if init + base + term > num_warmup:
+            init = int(0.15 * num_warmup)
+            term = int(0.10 * num_warmup)
+            base = num_warmup - init - term
+        start, w = init, base
+        while start < num_warmup - term:
+            end = min(start + w, num_warmup - term)
+            if num_warmup - term - end < w * 2:
+                end = num_warmup - term  # absorb the remainder
+            in_window[start:end] = True
+            window_end[end - 1] = True
+            start, w = end, w * 2
+    return jnp.asarray(in_window), jnp.asarray(window_end)
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
+    d = target.dim
+    potential_vg = jax.value_and_grad(target.potential_fn)
+    max_depth = config.max_tree_depth
+    max_delta = config.max_delta_energy
+    in_window_mask, window_end_mask = build_warmup_schedule(config.num_warmup)
+
+    def _leapfrog(z, r, grad, eps, inv_mass):
+        r = r - 0.5 * eps * grad
+        z = z + eps * _velocity(inv_mass, r)
+        pe, grad = potential_vg(z)
+        pe = nan_to_inf(pe)
+        grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+        r = r - 0.5 * eps * grad
+        return z, r, pe, grad
+
+    # -- subtree construction (iterative, single chain) --------------------
+    class _Sub(NamedTuple):
+        key: Array
+        n: Array            # leaves built so far
+        z: Array            # integration edge
+        r: Array
+        grad: Array
+        pe: Array
+        z_prop: Array
+        pe_prop: Array
+        grad_prop: Array
+        log_w: Array        # logsumexp of -energy over subtree leaves
+        r_sum: Array
+        r_ckpt: Array       # (max_depth, d) first-leaf momenta of open subtrees
+        s_ckpt: Array       # (max_depth, d) cumulative r_sum BEFORE each open subtree
+        p: Array            # checkpoint stack pointer
+        turning: Array
+        diverging: Array
+        accept_sum: Array
+
+    def _build_subtree(key, z, r, grad, pe, eps_signed, inv_mass,
+                       num_leaves, energy0):
+        """Integrate ``num_leaves`` leapfrog steps from edge (z, r), with
+        progressive multinomial proposal selection and incremental
+        balanced-subtree U-turn checks.
+
+        U-turn bookkeeping: leaves arrive with indices n = 0..N-1.  A
+        balanced subtree of size 2^k ends at leaf n iff 2^k divides n+1;
+        its first leaf is n+1-2^k.  Every even leaf pushes
+        (its momentum, cumulative sum before it) on a stack; leaf n with t
+        trailing ones in binary(n) closes t subtrees whose checkpoints are
+        exactly the top t stack entries — check each, then pop them.
+        """
+
+        def cond(s: _Sub):
+            return (s.n < num_leaves) & ~s.turning & ~s.diverging
+
+        def body(s: _Sub):
+            z, r, pe, grad = _leapfrog(s.z, s.r, s.grad, eps_signed, inv_mass)
+            energy = pe + _kinetic(inv_mass, r)
+            energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+            delta = energy - energy0
+            diverging = delta > max_delta
+            log_w_leaf = -energy
+            log_w_new = jnp.logaddexp(s.log_w, log_w_leaf)
+            # progressive multinomial: take the new leaf as proposal with
+            # probability exp(log_w_leaf - log_w_new)
+            key, k_acc = jax.random.split(s.key)
+            take = jax.random.uniform(k_acc) < jnp.exp(log_w_leaf - log_w_new)
+            z_prop = jnp.where(take, z, s.z_prop)
+            pe_prop = jnp.where(take, pe, s.pe_prop)
+            grad_prop = jnp.where(take, grad, s.grad_prop)
+            accept_sum = s.accept_sum + jnp.minimum(1.0, jnp.exp(-delta))
+
+            n = s.n
+            r_sum_new = s.r_sum + r
+            # push checkpoint on even leaves
+            is_even = (n % 2) == 0
+            r_ckpt = jnp.where(
+                is_even, s.r_ckpt.at[s.p].set(r), s.r_ckpt
+            )
+            s_ckpt = jnp.where(
+                is_even, s.s_ckpt.at[s.p].set(s.r_sum), s.s_ckpt
+            )
+            p = jnp.where(is_even, s.p + 1, s.p)
+            # close subtrees on odd leaves: t = trailing ones of n
+            def check_turn(j, val):
+                turning, p = val
+                active = j < t
+                idx = jnp.maximum(p - 1 - j, 0)
+                rho = r_sum_new - s_ckpt[idx]
+                turn_j = _is_turning(inv_mass, r_ckpt[idx], r, rho)
+                turning = turning | (active & turn_j)
+                return turning, p
+
+            t = jnp.where(
+                is_even,
+                0,
+                # count trailing ones of n
+                jnp.int32(
+                    jnp.sum(
+                        jnp.cumprod(
+                            (n >> jnp.arange(max_depth + 1)) & 1
+                        )
+                    )
+                ),
+            )
+            turning, _ = lax.fori_loop(
+                0, max_depth + 1, check_turn, (s.turning, p)
+            )
+            p = jnp.where(is_even, p, p - t)
+
+            return _Sub(
+                key=key, n=n + 1, z=z, r=r, grad=grad, pe=pe,
+                z_prop=z_prop, pe_prop=pe_prop, grad_prop=grad_prop,
+                log_w=log_w_new, r_sum=r_sum_new,
+                r_ckpt=r_ckpt, s_ckpt=s_ckpt, p=p,
+                turning=turning, diverging=s.diverging | diverging,
+                accept_sum=accept_sum,
+            )
+
+        init = _Sub(
+            key=key,
+            n=jnp.int32(0), z=z, r=r, grad=grad, pe=pe,
+            z_prop=z, pe_prop=pe, grad_prop=grad,
+            log_w=-jnp.inf, r_sum=jnp.zeros((d,)),
+            r_ckpt=jnp.zeros((max_depth, d)),
+            s_ckpt=jnp.zeros((max_depth, d)),
+            p=jnp.int32(0),
+            turning=jnp.asarray(False), diverging=jnp.asarray(False),
+            accept_sum=jnp.asarray(0.0),
+        )
+        return lax.while_loop(cond, body, init)
+
+    # -- one NUTS transition (single chain) --------------------------------
+    class _Tree(NamedTuple):
+        key: Array
+        z_left: Array
+        r_left: Array
+        grad_left: Array
+        z_right: Array
+        r_right: Array
+        grad_right: Array
+        z_prop: Array
+        pe_prop: Array
+        grad_prop: Array
+        log_w: Array
+        r_sum: Array
+        depth: Array
+        turning: Array
+        diverging: Array
+        accept_sum: Array
+        num_steps: Array
+
+    def _single_transition(key, z, pe, grad, eps, inv_mass, chol_inv_mass):
+        key, k_mom = jax.random.split(key)
+        r0 = _sample_momentum(k_mom, chol_inv_mass, d)
+        energy0 = pe + _kinetic(inv_mass, r0)
+
+        def cond(tr: _Tree):
+            return (tr.depth < max_depth) & ~tr.turning & ~tr.diverging
+
+        def body(tr: _Tree):
+            key, k_dir, k_sub, k_bias = jax.random.split(tr.key, 4)
+            going_right = jax.random.bernoulli(k_dir)
+            z_edge = jnp.where(going_right, tr.z_right, tr.z_left)
+            r_edge = jnp.where(going_right, tr.r_right, tr.r_left)
+            g_edge = jnp.where(going_right, tr.grad_right, tr.grad_left)
+            pe_edge = jnp.zeros(())  # recomputed by first leapfrog
+            eps_signed = jnp.where(going_right, eps, -eps)
+            num_leaves = jnp.int32(1) << tr.depth
+
+            sub = _build_subtree(
+                k_sub, z_edge, r_edge, g_edge, pe_edge,
+                eps_signed, inv_mass, num_leaves, energy0,
+            )
+            invalid = sub.turning | sub.diverging
+            # biased progressive acceptance of the subtree proposal
+            accept_p = jnp.exp(jnp.minimum(0.0, sub.log_w - tr.log_w))
+            take = (jax.random.uniform(k_bias) < accept_p) & ~invalid
+            z_prop = jnp.where(take, sub.z_prop, tr.z_prop)
+            pe_prop = jnp.where(take, sub.pe_prop, tr.pe_prop)
+            grad_prop = jnp.where(take, sub.grad_prop, tr.grad_prop)
+
+            # merge (only meaningful when the subtree is valid)
+            z_left = jnp.where(going_right, tr.z_left, sub.z)
+            r_left = jnp.where(going_right, tr.r_left, sub.r)
+            grad_left = jnp.where(going_right, tr.grad_left, sub.grad)
+            z_right = jnp.where(going_right, sub.z, tr.z_right)
+            r_right = jnp.where(going_right, sub.r, tr.r_right)
+            grad_right = jnp.where(going_right, sub.grad, tr.grad_right)
+            r_sum = tr.r_sum + sub.r_sum
+            log_w = jnp.logaddexp(tr.log_w, sub.log_w)
+            turning_full = _is_turning(inv_mass, r_left, r_right, r_sum)
+
+            return _Tree(
+                key=key,
+                z_left=z_left, r_left=r_left, grad_left=grad_left,
+                z_right=z_right, r_right=r_right, grad_right=grad_right,
+                z_prop=z_prop, pe_prop=pe_prop, grad_prop=grad_prop,
+                log_w=log_w, r_sum=r_sum,
+                depth=tr.depth + 1,
+                turning=invalid | sub.turning | turning_full,
+                diverging=sub.diverging,
+                accept_sum=tr.accept_sum + sub.accept_sum,
+                num_steps=tr.num_steps + sub.n,
+            )
+
+        init = _Tree(
+            key=key,
+            z_left=z, r_left=r0, grad_left=grad,
+            z_right=z, r_right=r0, grad_right=grad,
+            z_prop=z, pe_prop=pe, grad_prop=grad,
+            log_w=-energy0, r_sum=r0,
+            depth=jnp.int32(0),
+            turning=jnp.asarray(False), diverging=jnp.asarray(False),
+            accept_sum=jnp.asarray(0.0), num_steps=jnp.int32(0),
+        )
+        tr = lax.while_loop(cond, body, init)
+        accept_prob = tr.accept_sum / jnp.maximum(
+            tr.num_steps.astype(jnp.float32), 1.0
+        )
+        return (
+            tr.z_prop, tr.pe_prop, tr.grad_prop, accept_prob,
+            tr.num_steps, tr.diverging,
+        )
+
+    # -- step-size search (single chain) -----------------------------------
+    def _find_reasonable_step_size(key, z, pe, grad, inv_mass,
+                                   chol_inv_mass, eps0):
+        r = _sample_momentum(key, chol_inv_mass, d)
+        energy0 = pe + _kinetic(inv_mass, r)
+
+        def accept_of(eps):
+            z1, r1, pe1, _ = _leapfrog(z, r, grad, eps, inv_mass)
+            e1 = pe1 + _kinetic(inv_mass, r1)
+            return jnp.exp(energy0 - jnp.where(jnp.isnan(e1), jnp.inf, e1))
+
+        direction = jnp.where(accept_of(eps0) > 0.5, 1.0, -1.0)
+
+        def cond(val):
+            eps, it = val
+            a = accept_of(eps)
+            keep = jnp.where(direction > 0, a > 0.5, a < 0.5)
+            return keep & (it < 64) & (eps > 1e-8) & (eps < 1e7)
+
+        def body(val):
+            eps, it = val
+            return eps * jnp.where(direction > 0, 2.0, 0.5), it + 1
+
+        eps, _ = lax.while_loop(cond, body, (eps0, jnp.int32(0)))
+        return eps
+
+    # -- Welford + dual averaging ------------------------------------------
+    def _welford_update(w: WelfordState, x):
+        c = w.count + 1.0
+        delta = x - w.mean
+        mean = w.mean + delta / c
+        if config.dense_mass:
+            m2 = w.m2 + jnp.outer(delta, x - mean)
+        else:
+            m2 = w.m2 + delta * (x - mean)
+        return WelfordState(c, mean, m2)
+
+    def _welford_finalize(w: WelfordState):
+        """Regularized covariance -> (inv_mass, chol_inv_mass)."""
+        c = jnp.maximum(w.count, 2.0)
+        cov = w.m2 / (c - 1.0)
+        shrink = c / (c + 5.0)
+        if config.dense_mass:
+            cov = shrink * cov + 1e-3 * (1.0 - shrink) * jnp.eye(d)
+            chol = jnp.linalg.cholesky(cov)
+            ok = ~jnp.any(jnp.isnan(chol))
+            cov = jnp.where(ok, cov, jnp.eye(d))
+            chol = jnp.where(ok, chol, jnp.eye(d))
+            return cov, chol
+        cov = shrink * cov + 1e-3 * (1.0 - shrink)
+        cov = jnp.where(cov > 0, cov, 1.0)
+        return cov, jnp.sqrt(cov)
+
+    def _fresh_welford(n_chains):
+        shape = (n_chains, d, d) if config.dense_mass else (n_chains, d)
+        return WelfordState(
+            count=jnp.zeros((n_chains,)),
+            mean=jnp.zeros((n_chains, d)),
+            m2=jnp.zeros(shape),
+        )
+
+    def _da_init(log_eps, n_chains):
+        return DAState(
+            t=jnp.zeros((n_chains,)),
+            log_eps=log_eps,
+            log_eps_avg=jnp.zeros((n_chains,)),
+            h_bar=jnp.zeros((n_chains,)),
+            mu=jnp.log(10.0) + log_eps,
+        )
+
+    def _da_update(da: DAState, stat):
+        t0, kappa, gamma = 10.0, 0.75, 0.05
+        t = da.t + 1.0
+        h_bar = (1.0 - 1.0 / (t + t0)) * da.h_bar + (
+            config.target_accept_prob - stat
+        ) / (t + t0)
+        log_eps = da.mu - jnp.sqrt(t) / gamma * h_bar
+        w = t ** (-kappa)
+        log_eps_avg = w * log_eps + (1.0 - w) * da.log_eps_avg
+        return DAState(t, log_eps, log_eps_avg, h_bar, da.mu)
+
+    # -- public init / step -------------------------------------------------
+    def init(
+        rng_key: Array,
+        n_chains: int = 1,
+        position: Optional[Array] = None,
+        adapt_state: Optional[NUTSAdaptState] = None,
+    ) -> NUTSState:
+        key_init, key_run, key_eps = jax.random.split(rng_key, 3)
+        pos = batch_positions(target, key_init, n_chains, position)
+        pe, grad = jax.vmap(potential_vg)(pos)
+        pe = nan_to_inf(pe)
+        if adapt_state is None:
+            if config.dense_mass:
+                inv_mass = jnp.broadcast_to(jnp.eye(d), (n_chains, d, d))
+                chol = inv_mass
+            else:
+                inv_mass = jnp.ones((n_chains, d))
+                chol = inv_mass
+            if config.adapt_step_size:
+                eps0 = jax.vmap(
+                    _find_reasonable_step_size,
+                    in_axes=(0, 0, 0, 0, 0, 0, None),
+                )(
+                    jax.random.split(key_eps, n_chains),
+                    pos, pe, grad, inv_mass, chol,
+                    jnp.asarray(config.step_size),
+                )
+            else:
+                eps0 = jnp.full((n_chains,), config.step_size)
+            adapt_state = NUTSAdaptState(
+                da=_da_init(jnp.log(eps0), n_chains),
+                inv_mass=inv_mass,
+                chol_inv_mass=chol,
+                welford=_fresh_welford(n_chains),
+            )
+        return NUTSState(
+            i=jnp.zeros((), jnp.int32),
+            position=pos,
+            potential_energy=pe,
+            pe_grad=grad,
+            mean_accept_prob=jnp.zeros((n_chains,)),
+            num_steps=jnp.zeros((n_chains,), jnp.int32),
+            diverging=jnp.zeros((n_chains,), bool),
+            adapt_state=adapt_state,
+            rng_key=jax.random.split(key_run, n_chains),
+        )
+
+    def step(state: NUTSState) -> NUTSState:
+        adapt = state.adapt_state
+        C = state.position.shape[0]
+        in_warmup = state.i < config.num_warmup
+
+        if config.adapt_step_size:
+            eps = jnp.exp(
+                jnp.where(in_warmup, adapt.da.log_eps, adapt.da.log_eps_avg)
+            )
+        else:
+            eps = jnp.exp(adapt.da.log_eps)
+
+        keys, keys_tr = split_keys(state.rng_key, 2)
+        z_new, pe_new, grad_new, accept_prob, num_steps, diverging = jax.vmap(
+            _single_transition
+        )(
+            keys_tr, state.position, state.potential_energy, state.pe_grad,
+            eps, adapt.inv_mass, adapt.chol_inv_mass,
+        )
+
+        itr = state.i + 1
+        n = jnp.where(in_warmup, itr, itr - config.num_warmup).astype(
+            jnp.float32
+        )
+        mean_ap = state.mean_accept_prob
+        mean_ap = mean_ap + (accept_prob - mean_ap) / n
+
+        # --- warmup adaptation (masked; no-ops after warmup) --------------
+        if config.num_warmup > 0 and (
+            config.adapt_step_size or config.adapt_mass_matrix
+        ):
+            idx = jnp.minimum(state.i, in_window_mask.shape[0] - 1)
+            in_win = in_window_mask[idx] & in_warmup
+            win_end = window_end_mask[idx] & in_warmup
+
+            da = _da_update(adapt.da, accept_prob)
+            da = jax.tree.map(
+                lambda new, old: jnp.where(
+                    in_warmup & jnp.asarray(config.adapt_step_size), new, old
+                ),
+                da, adapt.da,
+            )
+
+            if config.adapt_mass_matrix:
+                wf_new = jax.vmap(_welford_update)(adapt.welford, z_new)
+                wf = jax.tree.map(
+                    lambda new, old: jnp.where(
+                        jnp.reshape(in_win, (-1,) + (1,) * (new.ndim - 1))
+                        if new.ndim >= 1 else in_win,
+                        new, old,
+                    ),
+                    wf_new, adapt.welford,
+                )
+                inv_mass_f, chol_f = jax.vmap(_welford_finalize)(wf)
+                mask = jnp.reshape(win_end, (-1,) + (1,) * (adapt.inv_mass.ndim - 1))
+                inv_mass = jnp.where(mask, inv_mass_f, adapt.inv_mass)
+                chol = jnp.where(mask, chol_f, adapt.chol_inv_mass)
+                wf = jax.tree.map(
+                    lambda fresh, cur: jnp.where(
+                        jnp.reshape(win_end, (-1,) + (1,) * (cur.ndim - 1))
+                        if cur.ndim >= 1 else win_end,
+                        fresh, cur,
+                    ),
+                    _fresh_welford(C), wf,
+                )
+            else:
+                inv_mass, chol, wf = (
+                    adapt.inv_mass, adapt.chol_inv_mass, adapt.welford
+                )
+
+            # restart dual averaging when the mass matrix changes
+            if config.adapt_step_size and config.adapt_mass_matrix:
+                da_restart = _da_init(da.log_eps, C)
+                da = jax.tree.map(
+                    lambda r, cur: jnp.where(win_end, r, cur), da_restart, da
+                )
+            adapt = NUTSAdaptState(
+                da=da, inv_mass=inv_mass, chol_inv_mass=chol, welford=wf
+            )
+
+        return NUTSState(
+            i=itr,
+            position=z_new,
+            potential_energy=pe_new,
+            pe_grad=grad_new,
+            mean_accept_prob=mean_ap,
+            num_steps=num_steps,
+            diverging=diverging & ~in_warmup,
+            adapt_state=adapt,
+            rng_key=keys,
+        )
+
+    return Kernel(
+        name="nuts",
+        target=target,
+        config=config,
+        init=jax.jit(init, static_argnames=("n_chains",)),
+        step=jax.jit(step),
+    )

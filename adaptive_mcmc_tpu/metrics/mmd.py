@@ -1,0 +1,59 @@
+"""Maximum-mean-discrepancy metrics (evaluation.py:199-294).
+
+The Gram matrices are computed from squared norms + one (n, d) @ (d, m)
+matmul — the MXU-friendly form of the pairwise distance — instead of the
+reference's O(n·m·d) broadcast-subtract (evaluation.py:219)."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _sq_dists(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise squared Euclidean distances via the Gram trick (one matmul)."""
+    xx = jnp.sum(x * x, axis=1)
+    yy = jnp.sum(y * y, axis=1)
+    xy = x @ y.T
+    return jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * xy, 0.0)
+
+
+def gaussian_kernel(x: jax.Array, y: jax.Array, gamma) -> jax.Array:
+    """RBF Gram matrix exp(-gamma * ||x_i - y_j||^2), shape (n, m)."""
+    return jnp.exp(-gamma * _sq_dists(x, y))
+
+
+@jax.jit
+def median_sq_dist(y: jax.Array) -> jax.Array:
+    """Median of pairwise squared distances (bandwidth heuristic)."""
+    return jnp.median(_sq_dists(y, y))
+
+
+@jax.jit
+def mmd2_unbiased(x: jax.Array, y: jax.Array, gamma=1.0) -> jax.Array:
+    """U-statistic estimator of MMD^2 (diagonals excluded)."""
+    n, m = x.shape[0], y.shape[0]
+    kxx = jnp.sum(gaussian_kernel(x, x, gamma)) - n  # diag entries are 1
+    kyy = jnp.sum(gaussian_kernel(y, y, gamma)) - m
+    kxy = jnp.sum(gaussian_kernel(x, y, gamma))
+    return kxx / (n * (n - 1)) + kyy / (m * (m - 1)) - 2.0 * kxy / (n * m)
+
+
+@jax.jit
+def mmd_heuristic(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Biased MMD with the median heuristic bandwidth gamma =
+    4 / median(||y_i - y_j||^2) — the metric used by every eval script
+    (evaluation.py:262-294)."""
+    n, m = x.shape[0], y.shape[0]
+    gamma = 4.0 / median_sq_dist(y)
+    kxx = jnp.sum(gaussian_kernel(x, x, gamma))
+    kyy = jnp.sum(gaussian_kernel(y, y, gamma))
+    kxy = jnp.sum(gaussian_kernel(x, y, gamma))
+    # clamp: x == y makes the biased estimate 0 up to fp error, and
+    # sqrt(-1e-9) would poison downstream aggregates with NaN
+    return jnp.sqrt(
+        jnp.maximum(kxx / n**2 + kyy / m**2 - 2.0 * kxy / (n * m), 0.0)
+    )

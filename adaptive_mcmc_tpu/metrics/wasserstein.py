@@ -1,0 +1,53 @@
+"""Exact Wasserstein via optimal 1-1 coupling — the primary eval metric
+(evaluation.py:42-66).
+
+Pipeline: the (n, n) Minkowski-``ord`` cost matrix is built on device (one
+matmul for ord=2), the assignment is solved by the exact native/SciPy
+Hungarian backend (host — augmenting paths don't vectorize) or the
+on-device ε-auction, and the reported value is the mean assigned distance,
+matching the reference's convention exactly."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptive_mcmc_tpu.metrics.assignment import (
+    auction_assignment,
+    linear_sum_assignment,
+)
+
+
+def minkowski_cost_matrix(u: jax.Array, v: jax.Array, ord: float = 2.0):
+    """Pairwise Minkowski-``ord`` distances (n, m).  ord=2 uses the Gram
+    trick (one MXU matmul); other orders fall back to broadcasting."""
+    u = jnp.asarray(u, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    if ord == 2.0:
+        uu = jnp.sum(u * u, axis=1)
+        vv = jnp.sum(v * v, axis=1)
+        sq = jnp.maximum(uu[:, None] + vv[None, :] - 2.0 * (u @ v.T), 0.0)
+        return jnp.sqrt(sq)
+    diff = jnp.abs(u[:, None, :] - v[None, :, :])
+    return jnp.sum(diff**ord, axis=-1) ** (1.0 / ord)
+
+
+def wasserstein_dist11_p(
+    u_values,
+    v_values,
+    ord: float = 2.0,
+    solver: str = "auto",
+) -> float:
+    """Mean distance under the optimal 1-1 coupling between two equal-size
+    sample sets (reference wasserstein_dist11_p).  ``solver``: "auto" |
+    "native" | "scipy" (exact, host) or "auction" (ε-approximate, device).
+    """
+    cost = minkowski_cost_matrix(u_values, v_values, ord=ord)
+    n = cost.shape[0]
+    if solver == "auction":
+        col = auction_assignment(cost)
+        return float(jnp.mean(cost[jnp.arange(n), col]))
+    cost_np = np.asarray(cost)
+    col = linear_sum_assignment(cost_np, solver=solver)
+    return float(cost_np[np.arange(n), col].mean())

@@ -1,0 +1,148 @@
+"""Sharded chain execution over a device mesh.
+
+Two complementary mechanisms (both exercised by tests on a virtual 8-device
+CPU mesh and by ``__graft_entry__.dryrun_multichip``):
+
+1. :func:`run_mcmc_sharded` — the whole warmup+sample scan in ONE jit with a
+   ``chains`` sharding constraint on the state.  Every kernel op is
+   elementwise over chains, so GSPMD partitions the program with zero
+   per-step collectives; each device runs its chain block independently at
+   full speed and results come back as one global sharded array.
+
+2. ``shard_map`` collectives for cross-chain reductions
+   (:func:`cross_chain_moments`, :func:`sharded_gelman_rubin`) — explicit
+   ``psum`` over the ``chains`` axis so pooled diagnostics ride ICI without
+   gathering raw trajectories to any single device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from adaptive_mcmc_tpu.parallel.mesh import (
+    CHAIN_AXIS,
+    chain_mesh,
+    chain_sharding,
+)
+
+Array = jax.Array
+
+
+def _constrain_chain_axis(state, mesh: Mesh, n_chains: int):
+    shard = chain_sharding(mesh)
+
+    def put(a):
+        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == n_chains:
+            return lax.with_sharding_constraint(a, shard)
+        return a
+
+    return jax.tree.map(put, state)
+
+
+def run_mcmc_sharded(
+    kernel,
+    rng_key: Array,
+    num_warmup: int,
+    num_samples: int,
+    *,
+    thinning: int = 1,
+    n_chains: int,
+    mesh: Optional[Mesh] = None,
+    init_position: Optional[Array] = None,
+    extra_fields: Sequence[str] = (),
+):
+    """Chain-sharded version of ``infer.run_mcmc`` — same semantics, state
+    split over the mesh's ``chains`` axis.  ``n_chains`` must divide by the
+    mesh size."""
+    mesh = mesh if mesh is not None else chain_mesh()
+    n_dev = mesh.devices.size
+    assert n_chains % n_dev == 0, (n_chains, n_dev)
+    assert num_samples % thinning == 0
+    num_collect = num_samples // thinning
+    sample_field = kernel.sample_field
+
+    @jax.jit
+    def _run(rng_key, init_position):
+        state = kernel.init(
+            rng_key, n_chains=n_chains, position=init_position
+        )
+        state = _constrain_chain_axis(state, mesh, n_chains)
+
+        if num_warmup:
+            state = lax.fori_loop(
+                0, num_warmup, lambda _, s: kernel.step(s), state
+            )
+
+        def body(state, _):
+            state = lax.fori_loop(
+                0, thinning, lambda _, s: kernel.step(s), state
+            )
+            out = {sample_field: getattr(state, sample_field)}
+            out.update({f: getattr(state, f) for f in extra_fields})
+            return state, out
+
+        state, collected = lax.scan(body, state, None, length=num_collect)
+        samples = collected.pop(sample_field)
+        return samples, collected, state
+
+    return _run(rng_key, init_position)
+
+
+# ---------------------------------------------------------------------------
+# Explicit collective diagnostics (psum over the chains mesh axis).
+# ---------------------------------------------------------------------------
+
+def cross_chain_moments(x: Array, mesh: Optional[Mesh] = None):
+    """Global (mean, var) over the chain axis of a (C, ...) array without
+    gathering: per-device partial sums + one psum each."""
+    mesh = mesh if mesh is not None else chain_mesh()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(CHAIN_AXIS),
+        out_specs=(P(), P()),
+    )
+    def _moments(xs):
+        n = lax.psum(jnp.asarray(xs.shape[0], jnp.float32), CHAIN_AXIS)
+        s = lax.psum(jnp.sum(xs, axis=0), CHAIN_AXIS)
+        s2 = lax.psum(jnp.sum(xs * xs, axis=0), CHAIN_AXIS)
+        mean = s / n
+        var = s2 / n - mean * mean
+        return mean, var
+
+    return _moments(x)
+
+
+def sharded_gelman_rubin(samples: Array, mesh: Optional[Mesh] = None):
+    """Split-R̂ of (draws, chains, ...) samples with chains sharded: the
+    per-chain means/vars are computed on the owning device, then reduced
+    with psum — O(params) bytes over ICI instead of O(draws·chains)."""
+    mesh = mesh if mesh is not None else chain_mesh()
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=P(None, CHAIN_AXIS), out_specs=P()
+    )
+    def _rhat(x):
+        half = x.shape[0] // 2
+        x = jnp.concatenate([x[:half], x[half : 2 * half]], axis=1)
+        n = x.shape[0]
+        cm = jnp.mean(x, axis=0)
+        cv = jnp.var(x, axis=0, ddof=1)
+        m = lax.psum(jnp.asarray(x.shape[1], jnp.float32), CHAIN_AXIS)
+        w = lax.psum(jnp.sum(cv, axis=0), CHAIN_AXIS) / m
+        mean_all = lax.psum(jnp.sum(cm, axis=0), CHAIN_AXIS) / m
+        b = n * lax.psum(
+            jnp.sum((cm - mean_all) ** 2, axis=0), CHAIN_AXIS
+        ) / (m - 1.0)
+        var_hat = (n - 1) / n * w + b / n
+        return jnp.sqrt(var_hat / w)
+
+    return _rhat(samples)

@@ -1,0 +1,109 @@
+"""ASSS kernel semantics: stereographic maps, shrinkage, adaptation,
+posterior correctness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptive_mcmc_tpu import ASSSConfig, asss, models, run_mcmc
+from adaptive_mcmc_tpu.kernels.asss import (
+    stereographic_inverse,
+    stereographic_project,
+)
+
+
+def test_projection_roundtrip_and_sphere():
+    d, C = 5, 7
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (C, d)) * 3.0
+    loc = jax.random.normal(jax.random.PRNGKey(1), (C, d))
+    a = jax.random.normal(jax.random.PRNGKey(2), (C, d, d)) * 0.2
+    scale = jnp.linalg.cholesky(
+        jnp.einsum("cij,ckj->cik", a, a) + jnp.eye(d)
+    )
+    z = stereographic_project(x, loc, scale)
+    assert z.shape == (C, d + 1)
+    np.testing.assert_allclose(
+        jnp.sum(z * z, axis=-1), jnp.ones(C), rtol=1e-5
+    )
+    x2 = stereographic_inverse(z, loc, scale)
+    np.testing.assert_allclose(x, x2, rtol=1e-3, atol=1e-4)
+
+
+def test_step_positions_change_and_pe_matches():
+    t = models.eight_schools_noncentered()
+    k = asss(t)
+    st = k.init(jax.random.PRNGKey(3), n_chains=4)
+    st2 = k.step(st)
+    assert not jnp.allclose(st.position, st2.position)
+    pe_want = jax.vmap(t.potential_fn)(st2.position)
+    np.testing.assert_allclose(st2.potential_energy, pe_want, rtol=1e-4)
+
+
+def test_batched_equals_single_chain():
+    t = models.std_normal(3)
+    k = asss(t)
+    stb = k.init(jax.random.PRNGKey(4), n_chains=3)
+    for _ in range(3):
+        stb = k.step(stb)
+
+    sts = k.init(jax.random.PRNGKey(4), n_chains=3)
+    singles = []
+    for c in range(3):
+        s = jax.tree.map(
+            lambda a: a[c : c + 1] if a.ndim >= 1 and a.shape[0] == 3 else a,
+            sts,
+        )
+        for _ in range(3):
+            s = k.step(s)
+        singles.append(s)
+    pos = jnp.concatenate([s.position for s in singles])
+    np.testing.assert_allclose(stb.position, pos, rtol=1e-4, atol=1e-5)
+
+
+def test_adaptation_recursion():
+    t = models.std_normal(2)
+    k = asss(t)
+    st1 = k.step(k.init(jax.random.PRNGKey(5), n_chains=1))
+    st2 = k.step(st1)
+    gamma = 2.0 ** (-2.0 / 3.0)
+    delta = st2.position[0] - st1.adapt_state.loc[0]
+    np.testing.assert_allclose(
+        st2.adapt_state.loc[0],
+        st1.adapt_state.loc[0] + gamma * delta,
+        rtol=1e-5,
+    )
+    want_cov = (1 - gamma) * (
+        st1.adapt_state.scale[0] @ st1.adapt_state.scale[0].T
+    ) + gamma * jnp.outer(delta, delta)
+    got = st2.adapt_state.scale[0] @ st2.adapt_state.scale[0].T
+    np.testing.assert_allclose(got, want_cov, rtol=1e-4, atol=1e-5)
+    # as_change = ||dloc|| + ||dscale||_F
+    want_change = jnp.linalg.norm(
+        st2.adapt_state.loc[0] - st1.adapt_state.loc[0]
+    ) + jnp.linalg.norm(st2.adapt_state.scale[0] - st1.adapt_state.scale[0])
+    np.testing.assert_allclose(st2.as_change[0], want_change, rtol=1e-4)
+
+
+def test_posterior_moments_std_normal():
+    t = models.std_normal(2)
+    k = asss(t, ASSSConfig(num_warmup=1000))
+    samples, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(6), num_warmup=1000, num_samples=3000,
+        n_chains=32,
+    )
+    flat = samples.reshape(-1, 2)
+    np.testing.assert_allclose(jnp.mean(flat, 0), jnp.zeros(2), atol=0.08)
+    np.testing.assert_allclose(jnp.std(flat, 0), jnp.ones(2), atol=0.08)
+
+
+def test_mixture_both_modes_visited():
+    t = models.gaussian_mixture_1d()
+    k = asss(t, ASSSConfig(num_warmup=500))
+    samples, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(7), num_warmup=500, num_samples=2000,
+        n_chains=16,
+    )
+    flat = samples.reshape(-1)
+    frac_right = float(jnp.mean(flat > 0))
+    assert 0.3 < frac_right < 0.7, frac_right

@@ -1,0 +1,114 @@
+"""Driver semantics: shapes, thinning, extra fields, sample_pnx,
+log-scale collection, MCMC convenience API."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptive_mcmc_tpu import (
+    MCMC,
+    arwmh,
+    asss,
+    collect_states_logscale,
+    get_init_adapt_state,
+    models,
+    ns_logscale,
+    run_mcmc,
+    sample_pnx,
+)
+
+
+def test_run_mcmc_shapes_and_thinning():
+    t = models.std_normal(3)
+    k = arwmh(t)
+    samples, extras, last = run_mcmc(
+        k,
+        jax.random.PRNGKey(0),
+        num_warmup=10,
+        num_samples=40,
+        thinning=4,
+        n_chains=5,
+        extra_fields=("potential_energy", "as_change"),
+    )
+    assert samples.shape == (10, 5, 3)
+    assert extras["potential_energy"].shape == (10, 5)
+    assert extras["as_change"].shape == (10, 5)
+    assert int(last.i) == 50
+
+
+def test_thinning_consistency():
+    """thinning=k collects every k-th state of the thinning=1 stream."""
+    t = models.std_normal(2)
+    k = arwmh(t)
+    s1, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(1), num_warmup=0, num_samples=12, n_chains=2
+    )
+    s3, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(1), num_warmup=0, num_samples=12, thinning=3,
+        n_chains=2,
+    )
+    np.testing.assert_allclose(s1[2::3], s3, rtol=1e-6)
+
+
+def test_mcmc_class_api():
+    t = models.eight_schools_noncentered()
+    mcmc = MCMC(arwmh(t), num_warmup=200, num_samples=400, thinning=2,
+                n_chains=4)
+    mcmc.run(jax.random.PRNGKey(2), extra_fields=("potential_energy",))
+    sites = mcmc.get_samples()
+    assert set(sites) == {"mu", "tau", "theta_base"}
+    assert sites["mu"].shape == (800,)
+    assert sites["theta_base"].shape == (800, 8)
+    assert jnp.all(sites["tau"] > 0)
+    # warmup clock was propagated into the kernel config
+    assert mcmc.kernel.config.num_warmup == 200
+    assert "Acceptance rate" in mcmc.diagnostics_str()
+    mcmc.print_summary()
+
+
+def test_sample_pnx_shapes_and_spread():
+    t = models.std_normal(2)
+    k = arwmh(t)
+    adapt = get_init_adapt_state(k, jax.random.PRNGKey(3),
+                                 position=jnp.zeros(2))
+    x = jnp.array([[0.0, 0.0], [3.0, 0.0], [0.0, -3.0]])
+    out = sample_pnx(k, jax.random.PRNGKey(4), x, adapt, n=5, n_samples=64)
+    assert out.shape == (3, 64, 2)
+    # chains started at distinct points remain centered near them after a
+    # few RWM steps but with nonzero spread
+    spread = jnp.std(out, axis=1)
+    assert float(jnp.min(spread)) > 0.0
+
+
+def test_sample_pnx_asss():
+    t = models.std_normal(2)
+    k = asss(t)
+    adapt = get_init_adapt_state(k, jax.random.PRNGKey(5),
+                                 position=jnp.zeros(2))
+    x = jnp.zeros((2, 2))
+    out = sample_pnx(k, jax.random.PRNGKey(6), x, adapt, n=3, n_samples=32)
+    assert out.shape == (2, 32, 2)
+    assert jnp.all(jnp.isfinite(out))
+
+
+def test_ns_logscale_grid():
+    ns = ns_logscale(3)
+    assert int(ns[0]) == 1
+    assert int(ns[-1]) == 1000
+    # decades 0-2 are dense, decade 3 thinned by 10
+    assert (np.diff(np.asarray(ns[:100])) == 1).all()
+
+
+def test_collect_states_logscale():
+    t = models.std_normal(2)
+    k = arwmh(t)
+    states, last = collect_states_logscale(
+        k, jax.random.PRNGKey(7), n_pow=3, n_chains=2
+    )
+    n_expected = len(ns_logscale(3))
+    assert states.position.shape == (n_expected, 2, 2)
+    assert states.as_change.shape == (n_expected, 2)
+    np.testing.assert_array_equal(
+        np.asarray(states.i), np.asarray(ns_logscale(3))
+    )
+    assert int(last.i) == 1000

@@ -1,0 +1,118 @@
+"""NUTS: statistical correctness on analytically-known targets, adaptation
+behavior, divergence detection."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptive_mcmc_tpu import NUTSConfig, models, nuts, run_mcmc
+from adaptive_mcmc_tpu.infer.diagnostics import gelman_rubin
+from adaptive_mcmc_tpu.kernels.nuts import build_warmup_schedule
+
+
+def test_warmup_schedule_structure():
+    in_win, win_end = build_warmup_schedule(1000)
+    # Stan windows: [75, 100), [100, 150), [150, 250), [250, 450), [450, 950)
+    assert not bool(in_win[:75].any())
+    assert bool(in_win[75:950].all())
+    assert not bool(in_win[950:].any())
+    ends = np.where(np.asarray(win_end))[0]
+    np.testing.assert_array_equal(ends, [99, 149, 249, 449, 949])
+    # tiny warmup: no mass windows
+    in_win_s, win_end_s = build_warmup_schedule(10)
+    assert not bool(in_win_s.any())
+
+
+def test_std_normal_posterior():
+    t = models.std_normal(5)
+    k = nuts(t, NUTSConfig(num_warmup=500))
+    samples, _, last = run_mcmc(
+        k, jax.random.PRNGKey(0), num_warmup=500, num_samples=500,
+        n_chains=16,
+    )
+    flat = samples.reshape(-1, 5)
+    np.testing.assert_allclose(jnp.mean(flat, 0), jnp.zeros(5), atol=0.1)
+    np.testing.assert_allclose(jnp.std(flat, 0), jnp.ones(5), atol=0.1)
+    r = gelman_rubin(samples)
+    assert float(jnp.max(r)) < 1.1
+    # adapted acceptance should be near the 0.8 target
+    acc = float(jnp.mean(last.mean_accept_prob))
+    assert 0.55 < acc < 0.99, acc
+
+
+def test_correlated_gaussian_dense_mass():
+    rho = 0.9
+    cov = jnp.array([[1.0, rho], [rho, 1.0]])
+    L = jnp.linalg.cholesky(cov)
+    t = models.mvn(jnp.zeros(2), L)
+    k = nuts(t, NUTSConfig(num_warmup=600, dense_mass=True))
+    samples, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(1), num_warmup=600, num_samples=600,
+        n_chains=8,
+    )
+    flat = samples.reshape(-1, 2)
+    emp_cov = jnp.cov(flat.T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.15)
+
+
+def test_num_steps_bounded_by_tree_depth():
+    t = models.std_normal(3)
+    cfg = NUTSConfig(num_warmup=100, max_tree_depth=6)
+    k = nuts(t, cfg)
+    _, extras, last = run_mcmc(
+        k, jax.random.PRNGKey(2), num_warmup=100, num_samples=50,
+        n_chains=4, extra_fields=("num_steps",),
+    )
+    assert int(jnp.max(extras["num_steps"])) <= 2**6
+
+
+def test_divergences_on_funnel_like_target():
+    """Neal's funnel produces divergences for NUTS without reparam —
+    the diverging flag must fire at least occasionally."""
+    def potential(x):
+        v, theta = x[0], x[1:]
+        return (
+            0.5 * (v / 3.0) ** 2
+            + 0.5 * jnp.sum(theta**2) * jnp.exp(-v)
+            + 0.5 * (x.shape[0] - 1) * v
+        )
+
+    from adaptive_mcmc_tpu.models.base import SiteSpec, Target
+
+    t = Target("funnel", 5, potential, (SiteSpec("x", 5, (5,)),))
+    k = nuts(t, NUTSConfig(num_warmup=300))
+    _, extras, _ = run_mcmc(
+        k, jax.random.PRNGKey(3), num_warmup=300, num_samples=300,
+        n_chains=8, extra_fields=("diverging",),
+    )
+    assert extras["diverging"].dtype == bool
+
+
+def test_eight_schools_runs_and_converges():
+    t = models.eight_schools_noncentered()
+    k = nuts(t, NUTSConfig(num_warmup=500))
+    samples, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(4), num_warmup=500, num_samples=500,
+        n_chains=8,
+    )
+    assert np.isfinite(np.asarray(samples)).all()
+    sites = t.constrain(samples.reshape(-1, t.dim))
+    mu_mean = float(jnp.mean(sites["mu"]))
+    tau_med = float(jnp.median(sites["tau"]))
+    # canonical eight-schools posterior: mu ~ 4.4, tau median ~ 3-4
+    assert 2.0 < mu_mean < 7.0, mu_mean
+    assert 1.0 < tau_med < 8.0, tau_med
+
+
+def test_energy_conservative_for_tiny_steps():
+    """With a tiny fixed step size and no adaptation, acceptance ~ 1."""
+    t = models.std_normal(4)
+    cfg = NUTSConfig(
+        step_size=1e-3, adapt_step_size=False, adapt_mass_matrix=False,
+        num_warmup=0, max_tree_depth=4,
+    )
+    k = nuts(t, cfg)
+    _, _, last = run_mcmc(
+        k, jax.random.PRNGKey(5), num_warmup=0, num_samples=20, n_chains=4
+    )
+    assert float(jnp.min(last.mean_accept_prob)) > 0.99
