@@ -63,7 +63,9 @@ def run_mcmc_sharded(
     mesh size."""
     mesh = mesh if mesh is not None else chain_mesh()
     n_dev = mesh.devices.size
-    assert n_chains % n_dev == 0, (n_chains, n_dev)
+    assert n_chains % n_dev == 0, (
+        f"n_chains ({n_chains}) must be a multiple of the mesh size ({n_dev})"
+    )
     assert num_samples % thinning == 0
     num_collect = num_samples // thinning
     sample_field = kernel.sample_field
