@@ -48,10 +48,13 @@ from adaptive_mcmc_tpu.kernels import (  # noqa: F401
     ASSSState,
     NUTSConfig,
     NUTSState,
+    SAConfig,
+    SAState,
     arwmh,
     asss,
     nuts,
     rwm,
+    sa,
 )
 from adaptive_mcmc_tpu.infer import (  # noqa: F401
     MCMC,

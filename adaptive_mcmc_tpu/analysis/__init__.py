@@ -1,0 +1,10 @@
+from adaptive_mcmc_tpu.analysis.invariance import (  # noqa: F401
+    invariance_ks,
+    ks_null_threshold,
+    ks_statistic,
+    push_through_kernel,
+)
+from adaptive_mcmc_tpu.analysis.contraction_curves import (  # noqa: F401
+    contraction_decay_curve,
+    taus_finite_difference,
+)

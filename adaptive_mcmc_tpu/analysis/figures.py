@@ -1,0 +1,241 @@
+"""Figure generation — the reference's notebook outputs as a reproducible
+script (`python -m adaptive_mcmc_tpu.analysis.figures [out_dir]`).
+
+Produces the figure families of /root/reference/python/jupyter (SURVEY
+§2.8) from framework primitives:
+  * invariance overlays (normal + mixture) — asumptions_check cells 27/78
+  * acceptance-rate vs proposal scale — cells 11-14
+  * P^n(x,·) step distributions over a grid — cells 16-25
+  * contraction τ(P^n) decay curves per proposal scale — cells 43-45
+  * kernel-distance ρ(P_σ, P_1) vs σ — cells 100-110
+  * adaptation-drift (as_change) vs n with n^(-1/2) guide — the lr-decay
+    plots of posteriordb_* notebooks
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from adaptive_mcmc_tpu import (  # noqa: E402
+    ARWMHAdaptState,
+    ARWMHConfig,
+    arwmh,
+    asss,
+    collect_states_logscale,
+    models,
+    ns_logscale,
+)
+from adaptive_mcmc_tpu.analysis.contraction_curves import (  # noqa: E402
+    contraction_decay_curve,
+)
+from adaptive_mcmc_tpu.analysis.invariance import (  # noqa: E402
+    push_through_kernel,
+)
+from adaptive_mcmc_tpu.contraction import (  # noqa: E402
+    compute_kernel_distance_1d,
+    make_sample_px,
+)
+
+
+def _frozen_arwmh(target, loc=0.0, scale=1.0, step=1.0):
+    k = arwmh(target, ARWMHConfig(adapt=False))
+    adapt = ARWMHAdaptState(
+        loc=jnp.full((1, target.dim), loc),
+        scale=jnp.full((1, target.dim, target.dim), 0.0)
+        + scale * jnp.eye(target.dim),
+        log_step_size=jnp.full((1,), jnp.log(step)),
+    )
+    return k, adapt
+
+
+def fig_invariance(out_dir: Path, n=200_000):
+    for name, target, density in [
+        (
+            "normal-invariance",
+            models.std_normal(1),
+            lambda g: np.exp(-0.5 * g**2) / np.sqrt(2 * np.pi),
+        ),
+        (
+            "mixture-invariance",
+            models.gaussian_mixture_1d(),
+            lambda g: 0.5
+            * (
+                np.exp(-0.5 * ((g + 1) / 0.1) ** 2)
+                + np.exp(-0.5 * ((g - 1) / 0.1) ** 2)
+            )
+            / (0.1 * np.sqrt(2 * np.pi)),
+        ),
+    ]:
+        for kname, build in [("rwm", arwmh), ("sss", asss)]:
+            key = jax.random.PRNGKey(0)
+            if name.startswith("normal"):
+                exact = jax.random.normal(key, (n, 1))
+            else:
+                comp = jax.random.bernoulli(key, 0.5, (n, 1))
+                exact = jnp.where(comp, 1.0, -1.0) + 0.1 * jax.random.normal(
+                    jax.random.fold_in(key, 1), (n, 1)
+                )
+            kernel = build(target)
+            pushed = push_through_kernel(
+                kernel, jax.random.PRNGKey(1), exact, n_steps=1
+            )
+            grid = np.linspace(-3, 3, 400)
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.hist(
+                np.asarray(pushed[:, 0]), bins=120, density=True,
+                alpha=0.5, label=f"π P ({kname})",
+            )
+            ax.plot(grid, density(grid), "k-", lw=1.5, label="π")
+            ax.set_xlim(-3, 3)
+            ax.legend()
+            ax.set_title(f"Invariance: one {kname} step from exact π")
+            fig.savefig(out_dir / f"{kname}-{name}.svg", bbox_inches="tight")
+            plt.close(fig)
+
+
+def fig_accept_rate(out_dir: Path, n_iters=3000, n_chains=256):
+    target = models.std_normal(1)
+    scales = np.geomspace(0.05, 30, 16)
+    rates = []
+    for s in scales:
+        k, adapt = _frozen_arwmh(target, step=float(s))
+        adapt = jax.tree.map(
+            lambda a: jnp.repeat(a, n_chains, axis=0), adapt
+        )
+        st = k.init(
+            jax.random.PRNGKey(0), n_chains=n_chains, adapt_state=adapt
+        )
+        st = jax.lax.fori_loop(0, n_iters, lambda _, x: k.step(x), st)
+        rates.append(float(jnp.mean(st.mean_accept_prob)))
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogx(scales, rates, "o-")
+    ax.axhline(0.234, color="r", ls="--", label="0.234 target")
+    ax.set_xlabel("proposal step size")
+    ax.set_ylabel("acceptance rate")
+    ax.legend()
+    fig.savefig(out_dir / "accept-rate-vs-scale.svg", bbox_inches="tight")
+    plt.close(fig)
+
+
+def fig_pnx_distributions(out_dir: Path, n_samples=20_000):
+    from adaptive_mcmc_tpu.infer.mcmc import sample_pnx
+
+    target = models.std_normal(1)
+    k, adapt = _frozen_arwmh(target)
+    xs = jnp.array([[-2.0], [0.0], [2.0]])
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.2), sharey=True)
+    for ax, n in zip(axes, [1, 8, 64]):
+        out = sample_pnx(
+            k, jax.random.PRNGKey(0), xs, adapt, n=n, n_samples=n_samples
+        )
+        for i, x0 in enumerate([-2.0, 0.0, 2.0]):
+            ax.hist(
+                np.asarray(out[i, :, 0]), bins=80, density=True,
+                alpha=0.45, label=f"x={x0:g}",
+            )
+        grid = np.linspace(-4, 4, 300)
+        ax.plot(grid, np.exp(-0.5 * grid**2) / np.sqrt(2 * np.pi), "k-")
+        ax.set_title(f"P^{n}(x, ·)")
+    axes[0].legend()
+    fig.savefig(out_dir / "pnx-distributions.svg", bbox_inches="tight")
+    plt.close(fig)
+
+
+def fig_contraction_decay(out_dir: Path, n_samples=5000):
+    target = models.std_normal(1)
+    xs = jnp.linspace(-2, 2, 9)
+    ns = (1, 2, 4, 8, 16, 32)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for s in [0.1, 1.0, 10.0]:
+        k, adapt = _frozen_arwmh(target, step=s)
+        taus = contraction_decay_curve(
+            k, jax.random.PRNGKey(0), xs, adapt, ns=ns, n_samples=n_samples
+        )
+        ax.semilogy(ns, np.asarray(taus), "o-", label=f"step={s:g}")
+    ax.axhline(1.0, color="k", lw=0.8)
+    ax.set_xlabel("n (kernel steps)")
+    ax.set_ylabel(r"$\max_x \tau_x(P^n)$")
+    ax.legend()
+    fig.savefig(out_dir / "contraction-decay.svg", bbox_inches="tight")
+    plt.close(fig)
+
+
+def fig_kernel_distance(out_dir: Path):
+    target = models.std_normal(1)
+    x = jnp.linspace(-2, 2, 12)
+    k1, a1 = _frozen_arwmh(target, step=1.0)
+    rhos = []
+    sigmas = np.array([0.25, 0.5, 1.0, 2.0, 4.0])
+    for s in sigmas:
+        k2, a2 = _frozen_arwmh(target, step=float(s))
+        rho, _, _ = compute_kernel_distance_1d(
+            make_sample_px(k2, a2),
+            make_sample_px(k1, a1),
+            jax.random.PRNGKey(0),
+            x,
+            sample_batch_size=2000,
+            n_eval_batches=16,
+            max_steps=40,
+        )
+        rhos.append(float(rho))
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogx(sigmas, rhos, "o-")
+    ax.set_xlabel(r"proposal scale $\sigma$")
+    ax.set_ylabel(r"$\rho(P_\sigma, P_1)$")
+    fig.savefig(out_dir / "kernel-distance.svg", bbox_inches="tight")
+    plt.close(fig)
+
+
+def fig_adaptation_drift(out_dir: Path, n_pow=4):
+    target = models.eight_schools_centered()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ns = np.asarray(ns_logscale(n_pow))
+    for lr_decay, color in [(1.0, "C0"), (2 / 3, "C1"), (0.5, "C2")]:
+        k = arwmh(target, ARWMHConfig(lr_decay=lr_decay))
+        states, _ = collect_states_logscale(
+            k, jax.random.PRNGKey(0), n_pow=n_pow, n_chains=8
+        )
+        drift = np.asarray(jnp.mean(states.as_change, axis=1))
+        ax.loglog(ns, drift, color=color, label=f"a={lr_decay:.3g}")
+    ax.loglog(ns, 1.0 / np.sqrt(ns), "k--", lw=0.8, label=r"$n^{-1/2}$")
+    ax.set_xlabel("iteration n")
+    ax.set_ylabel(r"$\|\Delta(\lambda\Sigma^{1/2})\|_F$")
+    ax.legend()
+    fig.savefig(out_dir / "adaptation-drift.svg", bbox_inches="tight")
+    plt.close(fig)
+
+
+ALL_FIGURES = {
+    "invariance": fig_invariance,
+    "accept_rate": fig_accept_rate,
+    "pnx": fig_pnx_distributions,
+    "contraction": fig_contraction_decay,
+    "kernel_distance": fig_kernel_distance,
+    "adaptation_drift": fig_adaptation_drift,
+}
+
+
+def main(out_dir: str = "img", only=None):
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    for name, fn in ALL_FIGURES.items():
+        if only and name not in only:
+            continue
+        print(f"[fig] {name} ...", flush=True)
+        fn(out)
+    print(f"figures written to {out}/")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "img",
+         only=set(sys.argv[2:]) or None)

@@ -18,9 +18,15 @@ from adaptive_mcmc_tpu.kernels.nuts import (  # noqa: F401
     NUTSState,
     nuts,
 )
+from adaptive_mcmc_tpu.kernels.sa import (  # noqa: F401
+    SAConfig,
+    SAState,
+    sa,
+)
 
 from adaptive_mcmc_tpu.infer.mcmc import register_kernel_factory
 
 register_kernel_factory("arwmh", arwmh)
 register_kernel_factory("asss", asss)
 register_kernel_factory("nuts", nuts)
+register_kernel_factory("sa", sa)
