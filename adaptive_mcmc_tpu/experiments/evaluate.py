@@ -45,6 +45,9 @@ def make_reference_draws(
     kernel_name: str = "nuts",
     rng_seed: int = 999,
     cache_dir: str = "mcmc_runs/reference_draws",
+    n_chains: int = 50,
+    num_warmup: int = 2000,
+    thinning: int = 20,
 ) -> np.ndarray:
     """Self-consistent gold standard: many parallel chains, long warmup,
     heavy thinning.  Cached to disk."""
@@ -54,17 +57,16 @@ def make_reference_draws(
     from adaptive_mcmc_tpu.infer.mcmc import run_mcmc
 
     target = TARGETS[target_name]()
-    n_chains = 50
-    per_chain = n_draws // n_chains
+    per_chain = max(1, n_draws // n_chains)
     kernel = build_kernel(
-        kernel_name, target, lr_decay=2.0 / 3.0, num_warmup=2000
+        kernel_name, target, lr_decay=2.0 / 3.0, num_warmup=num_warmup
     )
     samples, _, _ = run_mcmc(
         kernel,
         jax.random.PRNGKey(rng_seed),
-        num_warmup=2000,
-        num_samples=per_chain * 20,
-        thinning=20,
+        num_warmup=num_warmup,
+        num_samples=per_chain * thinning,
+        thinning=thinning,
         n_chains=n_chains,
     )
     out = np.asarray(samples).reshape(-1, target.dim)[:n_draws]
@@ -144,11 +146,13 @@ def posteriordb_reference_draws(target_name: str) -> Optional[np.ndarray]:
     return None
 
 
-def get_reference_draws(target_name: str, n_draws: int = 10_000) -> np.ndarray:
+def get_reference_draws(
+    target_name: str, n_draws: int = 10_000, **kw
+) -> np.ndarray:
     ref = posteriordb_reference_draws(target_name)
     if ref is not None:
         return ref
-    return make_reference_draws(target_name, n_draws)
+    return make_reference_draws(target_name, n_draws, **kw)
 
 
 def evaluate_run(
