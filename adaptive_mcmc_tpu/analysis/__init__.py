@@ -8,3 +8,8 @@ from adaptive_mcmc_tpu.analysis.contraction_curves import (  # noqa: F401
     contraction_decay_curve,
     taus_finite_difference,
 )
+from adaptive_mcmc_tpu.analysis.posterior import (  # noqa: F401
+    functional_convergence,
+    pe_offset,
+    posterior_predictive,
+)

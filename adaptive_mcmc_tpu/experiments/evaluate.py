@@ -34,7 +34,7 @@ from adaptive_mcmc_tpu.experiments.runner import TARGETS, build_kernel
 from adaptive_mcmc_tpu.metrics import (
     mmd_heuristic,
     pth_moment_rmse,
-    wasserstein_dist11_p,
+    wasserstein_sinkhorn,
 )
 
 
@@ -155,30 +155,94 @@ def get_reference_draws(
     return make_reference_draws(target_name, n_draws, **kw)
 
 
+def _wasserstein_worker(args):
+    """Host-pool worker: exact 1-1 Wasserstein for one seed (cost matrix in
+    numpy, assignment via the native/SciPy solver)."""
+    x, y = args
+    import scipy.spatial
+
+    from adaptive_mcmc_tpu.metrics.assignment import linear_sum_assignment
+
+    cost = scipy.spatial.distance_matrix(x, y).astype(np.float64)
+    col = linear_sum_assignment(cost)
+    return float(cost[np.arange(cost.shape[0]), col].mean())
+
+
 def evaluate_run(
     run_npz: str | Path,
     reference: np.ndarray,
     out_csv: Optional[str | Path] = None,
+    *,
+    n_workers: Optional[int] = None,
+    exact_wasserstein_seeds: Optional[int] = None,
+    sinkhorn: bool = True,
+    verbose: bool = False,
 ):
     """Per-seed metric rows for a saved w_eval run.  Returns a pandas
-    DataFrame (and writes CSV if requested)."""
+    DataFrame (and writes CSV if requested).
+
+    Cost split: moment RMSE / MMD / Sinkhorn run on the accelerator for
+    every seed; the exact 1-1 Wasserstein (O(n^3) Hungarian at n=10k,
+    ~45 s/seed/core) runs on the host for the first
+    ``exact_wasserstein_seeds`` seeds (None = all; the reference's
+    per-seed W spread is tiny — ±0.003 — so a subset already pins the
+    mean) and over a process pool on multi-core hosts."""
+    import concurrent.futures as cf
+    import os
+
     import pandas as pd
 
     with np.load(run_npz, allow_pickle=False) as data:
         samples = data["samples"]  # (seeds, draws, dim)
+    S = samples.shape[0]
     y = jnp.asarray(reference)
-    rows = []
-    for seed in range(samples.shape[0]):
-        x = jnp.asarray(samples[seed])
-        rows.append(
-            {
-                "rng_seed": seed,
-                "rmse_means": float(pth_moment_rmse(x, y, p=1.0)),
-                "wasserstein": wasserstein_dist11_p(x, y),
-                "mmd": float(mmd_heuristic(x, y)),
-            }
-        )
-    df = pd.DataFrame.from_records(rows)
+
+    rmse = [
+        float(pth_moment_rmse(jnp.asarray(samples[s]), y, p=1.0))
+        for s in range(S)
+    ]
+    mmd = [
+        float(mmd_heuristic(jnp.asarray(samples[s]), y)) for s in range(S)
+    ]
+    sk = [
+        float(wasserstein_sinkhorn(jnp.asarray(samples[s]), y))
+        if sinkhorn
+        else float("nan")
+        for s in range(S)
+    ]
+
+    k = S if exact_wasserstein_seeds is None else min(
+        S, exact_wasserstein_seeds
+    )
+    y_np = np.asarray(reference, np.float64)
+    jobs = [(np.asarray(samples[s], np.float64), y_np) for s in range(k)]
+    n_workers = n_workers or min(12, os.cpu_count() or 1)
+    if n_workers > 1 and k > 1:
+        import multiprocessing as mp
+
+        # spawn (not fork): the parent holds a live TPU client; workers
+        # only need numpy + the native solver.
+        with cf.ProcessPoolExecutor(
+            max_workers=n_workers, mp_context=mp.get_context("spawn")
+        ) as pool:
+            wass = list(pool.map(_wasserstein_worker, jobs, chunksize=1))
+    else:
+        wass = []
+        for i, j in enumerate(jobs):
+            wass.append(_wasserstein_worker(j))
+            if verbose:
+                print(f"  [wasserstein] seed {i+1}/{k}", flush=True)
+    wass += [float("nan")] * (S - k)
+
+    df = pd.DataFrame(
+        {
+            "rng_seed": np.arange(S),
+            "rmse_means": rmse,
+            "wasserstein": wass,
+            "sinkhorn": sk,
+            "mmd": mmd,
+        }
+    )
     if out_csv is not None:
         Path(out_csv).parent.mkdir(parents=True, exist_ok=True)
         df.to_csv(out_csv)

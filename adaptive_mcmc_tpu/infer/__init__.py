@@ -10,6 +10,11 @@ from adaptive_mcmc_tpu.infer.collect import (  # noqa: F401
     concat_trees,
     ns_logscale,
 )
+from adaptive_mcmc_tpu.infer.checkpointed import (  # noqa: F401
+    ChainHealthError,
+    check_chain_health,
+    run_mcmc_checkpointed,
+)
 from adaptive_mcmc_tpu.infer.diagnostics import (  # noqa: F401
     effective_sample_size,
     gelman_rubin,

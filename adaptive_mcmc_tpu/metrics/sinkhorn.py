@@ -36,7 +36,9 @@ def _solve(cost, epsilon, tol, max_iters):
     log_b = jnp.full((m,), -jnp.log(m))
 
     def marginal_err(f, g):
-        # L1 deviation of the transport-plan row marginals from a
+        # total-variation-style L1 deviation of the transport-plan row
+        # marginals from a (sums to ~2 when completely off; the default
+        # tol=1e-2 therefore means marginals correct to ~0.5%)
         log_pi = (f[:, None] + g[None, :] - cost) / epsilon
         row = jax.scipy.special.logsumexp(log_pi + log_b[None, :], axis=1)
         return jnp.sum(jnp.abs(jnp.exp(row) - jnp.exp(log_a)))
@@ -68,7 +70,7 @@ def wasserstein_sinkhorn(
     u_values: jax.Array,
     v_values: jax.Array,
     epsilon: Optional[float] = None,
-    tol: float = 1e-3,
+    tol: float = 1e-2,
     max_iters: int = 2000,
 ) -> float:
     """Entropy-regularized OT cost between two point clouds with uniform

@@ -123,7 +123,11 @@ def diamonds(dataset: dict | None = None) -> Target:
         lp = student_t_logpdf(intercept, 3.0, 8.0, 10.0)
         lp += jnp.sum(normal_logpdf(b))
         lp += folded_student_t_logpdf(sigma, 3.0, 0.0, 10.0) + log_sigma
-        mu = intercept + Xc @ b  # (N,) — batches of chains become one matmul
+        # HIGHEST: the likelihood matmul must be true fp32 — TPU's default
+        # bf16 passes perturb the potential enough to bias the posterior
+        mu = intercept + jnp.dot(
+            Xc, b, precision=jax.lax.Precision.HIGHEST
+        )  # (N,) — batches of chains become one matmul
         lp += jnp.sum(normal_logpdf(Y, mu, sigma))
         return -lp
 
@@ -156,7 +160,7 @@ def kidiq(dataset: dict | None = None) -> Target:
         beta, log_sigma = x[:3], x[3]
         sigma = jnp.exp(log_sigma)
         lp = half_cauchy_logpdf(sigma, 2.5) + log_sigma  # beta: improper flat
-        mu = X @ beta
+        mu = jnp.dot(X, beta, precision=jax.lax.Precision.HIGHEST)
         lp += jnp.sum(normal_logpdf(ks, mu, sigma))
         return -lp
 

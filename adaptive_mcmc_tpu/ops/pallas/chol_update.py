@@ -53,16 +53,25 @@ def _kernel(d: int):
             for j in range(d)
         ]
         for j in range(d):
+            # Column recursion, reassociated so the wide (d, Cb) work is
+            # exactly two FMA-shaped ops per column; everything else is
+            # cheap lane-wide (Cb,) arithmetic:
+            #   w'      = w - (p / diag) * col
+            #   L'[:,j] = (sqrt(D')/diag) * col + (beta*sqrt(D')) * w'
             col = L_ref[:, j, :]                # (d, Cb)
             diag = L_ref[j, j, :]               # (Cb,)
-            unit = col / diag[None, :]
+            inv_diag = 1.0 / diag
             Dj = diag * diag
             p = w[j, :]
             Dj_new = Dj + a * p * p
-            beta = (p * a) / Dj_new
-            a = a * Dj / Dj_new
-            w = w - p[None, :] * unit
-            col_new = (unit + beta[None, :] * w) * jnp.sqrt(Dj_new)[None, :]
+            inv_Dj_new = 1.0 / Dj_new
+            sqrt_Dj_new = jnp.sqrt(Dj_new)
+            s_w = p * inv_diag
+            s_col = sqrt_Dj_new * inv_diag
+            s_new = (p * a) * inv_Dj_new * sqrt_Dj_new
+            a = a * Dj * inv_Dj_new
+            w = w - s_w[None, :] * col
+            col_new = s_col[None, :] * col + s_new[None, :] * w
             # strict lower-triangularity: kill fp dust above the diagonal
             out_ref[:, j, :] = jnp.where(row_ge[j], col_new, 0.0)
 

@@ -22,8 +22,11 @@ BASELINE_ITERS_PER_SEC = 55_700.0  # reference ARWMH, eight-schools, CPU
 
 
 def main() -> None:
+    import os
+
     n_chains = 4096
     iters_per_block = 1000
+    profile_dir = os.environ.get("AMT_PROFILE_DIR")  # optional xprof trace
     target = models.eight_schools_noncentered()
     kernel = arwmh(target, ARWMHConfig(num_warmup=0))
 
@@ -39,12 +42,15 @@ def main() -> None:
     state = run_block(state)
     jax.block_until_ready(state.position)
 
+    from adaptive_mcmc_tpu.utils import trace
+
     n_blocks = 5
-    t0 = time.perf_counter()
-    for _ in range(n_blocks):
-        state = run_block(state)
-    jax.block_until_ready(state.position)
-    elapsed = time.perf_counter() - t0
+    with trace(profile_dir):
+        t0 = time.perf_counter()
+        for _ in range(n_blocks):
+            state = run_block(state)
+        jax.block_until_ready(state.position)
+        elapsed = time.perf_counter() - t0
 
     total_chain_iters = n_chains * iters_per_block * n_blocks
     rate = total_chain_iters / elapsed

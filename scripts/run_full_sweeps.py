@@ -1,0 +1,132 @@
+"""Full reproduction of the reference's w_eval experiment matrix on TPU.
+
+For each (target, kernel) in the reference's sweep table
+(run_*_wasserstein.py budgets — experiments/configs.W_EVAL_BUDGETS): run
+all 100 seeds as ONE chain-batched sharded run, generate gold-standard
+draws (PosteriorDB if present, else a long 256-chain NUTS run), evaluate
+rmse/wasserstein/mmd per seed, and write:
+
+    mcmc_runs/w_eval/<target>/<kernel>.npz      raw thinned draws
+    mcmc_runs/w_eval/<target>/eval_<kernel>.csv per-seed metrics
+    RESULTS.md                                   summary table (committed)
+
+Restartable at every stage (sweep manifests + cached reference draws).
+Run:  python scripts/run_full_sweeps.py [--targets eight_schools,kidiq]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from adaptive_mcmc_tpu.experiments.configs import RunConfig, W_EVAL_BUDGETS
+from adaptive_mcmc_tpu.experiments.evaluate import (
+    evaluate_run,
+    get_reference_draws,
+)
+from adaptive_mcmc_tpu.experiments.runner import run_w_eval
+
+KERNEL_ORDER = ["arwmh", "asss", "nuts"]
+
+
+def summarize(results: dict, out_md: Path):
+    lines = [
+        "# RESULTS — w_eval reproduction (this framework, one TPU v5e chip)",
+        "",
+        "Gold standard: PosteriorDB reference draws when available, else a",
+        "long 256-chain NUTS run of this framework (cached in",
+        "`mcmc_runs/reference_draws/`).  Reference (laptop-CPU, PosteriorDB",
+        "gold standard) numbers in BASELINE.md for comparison.",
+        "",
+        "| target | kernel | rmse_means | wasserstein (exact) | sinkhorn | mmd | chain-iters/s | wall s |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for (target, kernel), r in sorted(results.items()):
+        lines.append(
+            f"| {target} | {kernel} | {r['rmse_mean']:.4f} ± {r['rmse_std']:.4f} "
+            f"| {r['w_mean']:.4f} ± {r['w_std']:.4f} "
+            f"| {r.get('sk_mean', float('nan')):.4f} ± {r.get('sk_std', float('nan')):.4f} "
+            f"| {r['mmd_mean']:.4f} ± {r['mmd_std']:.4f} "
+            f"| {r['rate']:,.0f} | {r['wall']:.1f} |"
+        )
+    out_md.write_text("\n".join(lines) + "\n")
+    print(f"[results] {out_md}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--targets", default="eight_schools,kidiq,diamonds")
+    ap.add_argument("--kernels", default=",".join(KERNEL_ORDER))
+    ap.add_argument("--seeds", type=int, default=100)
+    ap.add_argument("--out-dir", default="mcmc_runs")
+    ap.add_argument("--results", default="RESULTS.md")
+    ap.add_argument("--exact-w-seeds", type=int, default=10,
+                    help="seeds receiving the exact O(n^3) Hungarian W "
+                         "(single-core host); Sinkhorn covers all seeds")
+    args = ap.parse_args()
+
+    results_path = Path(args.results)
+    results: dict = {}
+    # reload previous results if present (restartability across stages)
+    state_file = Path(args.out_dir) / "results_state.json"
+    if state_file.exists():
+        results = {
+            tuple(k.split("|")): v
+            for k, v in json.loads(state_file.read_text()).items()
+        }
+
+    for target in args.targets.split(","):
+        ref = get_reference_draws(
+            target, 10_000, n_chains=256, num_warmup=1500, thinning=10,
+            cache_dir=f"{args.out_dir}/reference_draws",
+        )
+        print(f"[ref] {target}: {ref.shape} gold-standard draws")
+        for kernel in args.kernels.split(","):
+            if (target, kernel) in results:
+                print(f"[skip] {target}/{kernel} already evaluated")
+                continue
+            budget = W_EVAL_BUDGETS[(target, kernel)]
+            cfg = RunConfig(
+                target=target, kernel=kernel, n_seeds=args.seeds,
+                out_dir=args.out_dir, **budget,
+            )
+            t0 = time.time()
+            npz = run_w_eval(cfg)
+            wall = time.time() - t0
+            with np.load(npz, allow_pickle=False) as data:
+                meta = json.loads(str(data["meta"]))
+            csv = npz.with_name(f"eval_{kernel}.csv")
+            df = evaluate_run(
+                npz, ref, csv,
+                exact_wasserstein_seeds=args.exact_w_seeds,
+                verbose=True,
+            )
+            results[(target, kernel)] = {
+                "rmse_mean": float(df["rmse_means"].mean()),
+                "rmse_std": float(df["rmse_means"].std()),
+                "w_mean": float(df["wasserstein"].mean()),
+                "w_std": float(df["wasserstein"].std()),
+                "sk_mean": float(df["sinkhorn"].mean()),
+                "sk_std": float(df["sinkhorn"].std()),
+                "mmd_mean": float(df["mmd"].mean()),
+                "mmd_std": float(df["mmd"].std()),
+                "rate": meta["chain_iters_per_sec"],
+                "wall": meta["wall_seconds"],
+            }
+            state_file.write_text(
+                json.dumps({f"{k[0]}|{k[1]}": v for k, v in results.items()})
+            )
+            summarize(results, results_path)
+            print(
+                f"[eval] {target}/{kernel}: W="
+                f"{results[(target, kernel)]['w_mean']:.4f} "
+                f"(total {wall:.1f}s)"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,31 @@ def test_contraction_decays_below_one():
     taus = np.asarray(taus)
     assert taus[0] < 1.0
     assert taus[-1] < taus[0]
+
+
+def test_pe_offset_and_functional_convergence():
+    from adaptive_mcmc_tpu.analysis import functional_convergence, pe_offset
+
+    pes = jnp.array([1.0, 2.0, 3.0])
+    off = float(pe_offset(pes))
+    # -logsumexp(-pe) <= min(pe)
+    assert off <= 1.0
+    xs = jax.random.normal(jax.random.PRNGKey(0), (5000, 3))
+    run = functional_convergence(xs, lambda x: jnp.min(x))
+    # running estimate converges to E[min of 3 std normals] ~ -0.846
+    assert abs(float(run[-1]) + 0.846) < 0.06
+    assert run.shape == (5000,)
+
+
+@pytest.mark.parametrize(
+    "build", ["kidiq", "eight_schools_noncentered", "diamonds"]
+)
+def test_posterior_predictive_shapes(build):
+    from adaptive_mcmc_tpu.analysis import posterior_predictive
+
+    t = getattr(models, build)()
+    x = jax.random.normal(jax.random.PRNGKey(1), (7, t.dim)) * 0.1
+    rep = posterior_predictive(t, jax.random.PRNGKey(2), x)
+    (name, arr), = rep.items()
+    assert arr.shape[0] == 7
+    assert bool(jnp.all(jnp.isfinite(arr)))

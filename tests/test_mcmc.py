@@ -112,3 +112,31 @@ def test_collect_states_logscale():
         np.asarray(states.i), np.asarray(ns_logscale(3))
     )
     assert int(last.i) == 1000
+
+
+def test_sample_pnx_nuts():
+    from adaptive_mcmc_tpu import nuts
+
+    t = models.std_normal(2)
+    k = nuts(t)
+    adapt = get_init_adapt_state(k, jax.random.PRNGKey(8),
+                                 position=jnp.zeros(2))
+    x = jnp.zeros((2, 2))
+    out = sample_pnx(k, jax.random.PRNGKey(9), x, adapt, n=2, n_samples=16)
+    assert out.shape == (2, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # frozen NUTS actually moves
+    assert float(jnp.std(out)) > 0.1
+
+
+def test_sample_pnx_sa():
+    from adaptive_mcmc_tpu import sa, SAConfig
+
+    t = models.std_normal(2)
+    k = sa(t, SAConfig(adapt_state_size=16))
+    adapt = get_init_adapt_state(k, jax.random.PRNGKey(10),
+                                 position=jnp.zeros(2))
+    x = jnp.zeros((3, 2))
+    out = sample_pnx(k, jax.random.PRNGKey(11), x, adapt, n=2, n_samples=8)
+    assert out.shape == (3, 8, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
