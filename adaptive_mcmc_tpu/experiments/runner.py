@@ -84,6 +84,8 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
 
     rng_key = jax.random.PRNGKey(config.seed0)
     t0 = time.time()
+    # bound single device executions (long NUTS scans trip watchdogs)
+    max_steps = {"nuts": 2_000, "sa": 20_000}.get(config.kernel, 200_000)
     samples, extras, last = run_mcmc_sharded(
         kernel,
         rng_key,
@@ -92,6 +94,7 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
         thinning=config.thinning,
         n_chains=n_padded,
         mesh=mesh,
+        max_steps_per_call=max_steps,
         extra_fields=("potential_energy", "as_change")
         if kernel.name in ("arwmh", "rwm", "asss")
         else ("potential_energy",),

@@ -115,10 +115,20 @@ class MCMC:
         if hasattr(kernel.config, "num_warmup") and (
             kernel.config.num_warmup != self.num_warmup
         ):
-            cfg = dataclasses.replace(kernel.config, num_warmup=self.num_warmup)
-            factory = _KERNEL_FACTORIES[kernel.name]
-            kernel = factory(kernel.target, cfg)
-            self.kernel = kernel
+            factory = _KERNEL_FACTORIES.get(kernel.name)
+            if factory is not None:
+                cfg = dataclasses.replace(
+                    kernel.config, num_warmup=self.num_warmup
+                )
+                kernel = factory(kernel.target, cfg)
+                self.kernel = kernel
+            elif getattr(kernel.config, "adapt", True):
+                raise ValueError(
+                    f"kernel {kernel.name!r} has no registered factory; "
+                    f"build it with num_warmup={self.num_warmup} yourself"
+                )
+            # non-adaptive kernels (e.g. rwm): the warmup clock only
+            # normalizes mean_accept_prob — safe to keep as built
         self._samples, self._extras, self.last_state = run_mcmc(
             kernel,
             rng_key,

@@ -29,29 +29,34 @@ def _euclidean_cost(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.sqrt(sq + 1e-30)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def _solve(cost, epsilon, tol, max_iters):
+@partial(jax.jit, static_argnames=("max_iters", "inner_iters"))
+def _solve(cost, epsilon, tol, max_iters, inner_iters: int = 10):
     n, m = cost.shape
     log_a = jnp.full((n,), -jnp.log(n))
     log_b = jnp.full((m,), -jnp.log(m))
 
     def marginal_err(f, g):
         # total-variation-style L1 deviation of the transport-plan row
-        # marginals from a (sums to ~2 when completely off; the default
-        # tol=1e-2 therefore means marginals correct to ~0.5%)
+        # marginals from a (sums to ~2 when completely off)
         log_pi = (f[:, None] + g[None, :] - cost) / epsilon
         row = jax.scipy.special.logsumexp(log_pi + log_b[None, :], axis=1)
         return jnp.sum(jnp.abs(jnp.exp(row) - jnp.exp(log_a)))
 
-    def body(val):
-        f, g, _, it = val
+    def update_pair(_, fg):
+        f, g = fg
         f = -epsilon * jax.scipy.special.logsumexp(
             (g[None, :] - cost) / epsilon + log_b[None, :], axis=1
         )
         g = -epsilon * jax.scipy.special.logsumexp(
             (f[:, None] - cost) / epsilon + log_a[:, None], axis=0
         )
-        return f, g, marginal_err(f, g), it + 1
+        return f, g
+
+    def body(val):
+        f, g, _, it = val
+        # amortize the convergence check over a block of updates
+        f, g = lax.fori_loop(0, inner_iters, update_pair, (f, g))
+        return f, g, marginal_err(f, g), it + inner_iters
 
     def cond(val):
         _, _, err, it = val
@@ -70,11 +75,15 @@ def wasserstein_sinkhorn(
     u_values: jax.Array,
     v_values: jax.Array,
     epsilon: Optional[float] = None,
-    tol: float = 1e-2,
-    max_iters: int = 2000,
+    tol: float = 0.05,
+    max_iters: int = 500,
 ) -> float:
     """Entropy-regularized OT cost between two point clouds with uniform
-    weights (reference wasserstein_sinkhorn, evaluation.py:69-98)."""
+    weights (reference wasserstein_sinkhorn, evaluation.py:69-98).
+
+    ``tol`` bounds the L1 (total-variation-like) deviation of the plan's
+    row marginals; the regularized cost converges much faster than the
+    marginals, so the default is loose."""
     cost = _euclidean_cost(jnp.asarray(u_values), jnp.asarray(v_values))
     eps = jnp.mean(cost) * 0.05 if epsilon is None else jnp.asarray(epsilon)
     val, *_ = _solve(cost, eps, tol, max_iters)

@@ -57,10 +57,17 @@ def run_mcmc_sharded(
     mesh: Optional[Mesh] = None,
     init_position: Optional[Array] = None,
     extra_fields: Sequence[str] = (),
+    init_state=None,
+    max_steps_per_call: Optional[int] = None,
 ):
     """Chain-sharded version of ``infer.run_mcmc`` — same semantics, state
     split over the mesh's ``chains`` axis.  ``n_chains`` must divide by the
-    mesh size."""
+    mesh size.
+
+    ``max_steps_per_call`` bounds the kernel steps executed inside one
+    device program: very long single executions (minutes) can trip device
+    watchdogs — observed with 110k-step NUTS scans on v5e — so long runs
+    are split into multiple launches with the state threaded through."""
     mesh = mesh if mesh is not None else chain_mesh()
     n_dev = mesh.devices.size
     assert n_chains % n_dev == 0, (
@@ -71,17 +78,20 @@ def run_mcmc_sharded(
     sample_field = kernel.sample_field
 
     @jax.jit
-    def _run(rng_key, init_position):
+    def _init(rng_key, init_position):
         state = kernel.init(
             rng_key, n_chains=n_chains, position=init_position
         )
-        state = _constrain_chain_axis(state, mesh, n_chains)
+        return _constrain_chain_axis(state, mesh, n_chains)
 
-        if num_warmup:
-            state = lax.fori_loop(
-                0, num_warmup, lambda _, s: kernel.step(s), state
-            )
+    @jax.jit
+    def _warm(state, n_steps):
+        return lax.fori_loop(0, n_steps, lambda _, s: kernel.step(s), state)
 
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n_collect",))
+    def _collect(state, n_collect):
         def body(state, _):
             state = lax.fori_loop(
                 0, thinning, lambda _, s: kernel.step(s), state
@@ -90,11 +100,37 @@ def run_mcmc_sharded(
             out.update({f: getattr(state, f) for f in extra_fields})
             return state, out
 
-        state, collected = lax.scan(body, state, None, length=num_collect)
-        samples = collected.pop(sample_field)
-        return samples, collected, state
+        return lax.scan(body, state, None, length=n_collect)
 
-    return _run(rng_key, init_position)
+    state = init_state if init_state is not None else _init(
+        rng_key, init_position
+    )
+
+    cap = max_steps_per_call or max(num_warmup + num_samples, 1)
+    done = 0
+    while done < num_warmup:
+        todo = min(cap, num_warmup - done)
+        state = _warm(state, todo)
+        jax.block_until_ready(state.position)
+        done += todo
+
+    frames_per_call = max(1, cap // thinning)
+    chunks = []
+    collected_frames = 0
+    while collected_frames < num_collect:
+        todo = min(frames_per_call, num_collect - collected_frames)
+        state, out = _collect(state, todo)
+        jax.block_until_ready(state.position)
+        chunks.append(out)
+        collected_frames += todo
+    if len(chunks) == 1:
+        collected = chunks[0]
+    else:
+        collected = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+        )
+    samples = collected.pop(sample_field)
+    return samples, collected, state
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--exact-w-seeds", type=int, default=10,
                     help="seeds receiving the exact O(n^3) Hungarian W "
                          "(single-core host); Sinkhorn covers all seeds")
+    ap.add_argument("--budget-scale", type=float, default=1.0,
+                    help="scale warmup/samples proportionally (keeps the "
+                         "thinned draw count in proportion); use for "
+                         "targets whose reference budgets are sequential-"
+                         "step-bound (diamonds RWM/SSS: 11M serial steps)")
     args = ap.parse_args()
 
     results_path = Path(args.results)
@@ -89,7 +94,16 @@ def main():
             if (target, kernel) in results:
                 print(f"[skip] {target}/{kernel} already evaluated")
                 continue
-            budget = W_EVAL_BUDGETS[(target, kernel)]
+            budget = dict(W_EVAL_BUDGETS[(target, kernel)])
+            if args.budget_scale != 1.0:
+                # scale total iterations but keep the thinned draw count
+                # (10k draws per seed) so the evaluation stays comparable —
+                # draws just come from a shorter, more correlated run
+                s = args.budget_scale
+                n_draws = budget["num_samples"] // budget["thinning"]
+                budget["num_warmup"] = max(1, int(budget["num_warmup"] * s))
+                budget["thinning"] = max(1, int(budget["thinning"] * s))
+                budget["num_samples"] = n_draws * budget["thinning"]
             cfg = RunConfig(
                 target=target, kernel=kernel, n_seeds=args.seeds,
                 out_dir=args.out_dir, **budget,

@@ -140,3 +140,19 @@ def test_sample_pnx_sa():
     out = sample_pnx(k, jax.random.PRNGKey(11), x, adapt, n=2, n_samples=8)
     assert out.shape == (3, 8, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_determinism_same_seed():
+    """Two identical runs produce identical draws (reference fixed-seed
+    reproducibility, SURVEY §4)."""
+    t = models.eight_schools_noncentered()
+    for build in (arwmh, asss):
+        k = build(t)
+        a, _, _ = run_mcmc(k, jax.random.PRNGKey(7), num_warmup=20,
+                           num_samples=50, n_chains=3)
+        b, _, _ = run_mcmc(k, jax.random.PRNGKey(7), num_warmup=20,
+                           num_samples=50, n_chains=3)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c, _, _ = run_mcmc(k, jax.random.PRNGKey(8), num_warmup=20,
+                           num_samples=50, n_chains=3)
+        assert not np.allclose(np.asarray(a), np.asarray(c))
