@@ -57,7 +57,7 @@ def make_reference_draws(
     from adaptive_mcmc_tpu.infer.mcmc import run_mcmc
 
     target = TARGETS[target_name]()
-    per_chain = max(1, n_draws // n_chains)
+    per_chain = max(1, -(-n_draws // n_chains))  # ceil: never under-deliver
     kernel = build_kernel(
         kernel_name, target, lr_decay=2.0 / 3.0, num_warmup=num_warmup
     )
@@ -163,9 +163,10 @@ def _wasserstein_worker(args):
 
     from adaptive_mcmc_tpu.metrics.assignment import linear_sum_assignment
 
-    cost = scipy.spatial.distance_matrix(x, y).astype(np.float64)
+    n = min(x.shape[0], y.shape[0])  # 1-1 coupling needs equal sizes
+    cost = scipy.spatial.distance_matrix(x[:n], y[:n]).astype(np.float64)
     col = linear_sum_assignment(cost)
-    return float(cost[np.arange(cost.shape[0]), col].mean())
+    return float(cost[np.arange(n), col].mean())
 
 
 def evaluate_run(
