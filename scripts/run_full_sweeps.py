@@ -67,6 +67,11 @@ def summarize(results: dict, out_md: Path):
         "* when a sweep is run with --budget-scale, the thinned draw "
         "count stays 10k per seed and the scale shows up in the run npz "
         "meta (wall entries also reveal it).",
+        "* kidiq/diamonds use the documented synthetic fallback datasets "
+        "(no PosteriorDB in this environment), so absolute metric values "
+        "are not directly comparable to the reference's tables for those "
+        "targets — the cross-kernel pattern is; eight_schools uses the "
+        "identical real dataset.",
     ]
     out_md.write_text("\n".join(lines) + "\n")
     print(f"[results] {out_md}")
