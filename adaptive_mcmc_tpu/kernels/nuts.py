@@ -186,7 +186,6 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
         r_sum: Array
         r_ckpt: Array       # (max_depth, d) first-leaf momenta of open subtrees
         s_ckpt: Array       # (max_depth, d) cumulative r_sum BEFORE each open subtree
-        p: Array            # checkpoint stack pointer
         turning: Array
         diverging: Array
         accept_sum: Array
@@ -197,12 +196,16 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
         progressive multinomial proposal selection and incremental
         balanced-subtree U-turn checks.
 
-        U-turn bookkeeping: leaves arrive with indices n = 0..N-1.  A
-        balanced subtree of size 2^k ends at leaf n iff 2^k divides n+1;
-        its first leaf is n+1-2^k.  Every even leaf pushes
-        (its momentum, cumulative sum before it) on a stack; leaf n with t
-        trailing ones in binary(n) closes t subtrees whose checkpoints are
-        exactly the top t stack entries — check each, then pop them.
+        U-turn bookkeeping (NumPyro's iterative checkpoint scheme,
+        hmc_util.py `_leaf_idx_to_ckpt_idxs`): leaves arrive with indices
+        n = 0..N-1.  A balanced subtree of size 2^k ends at leaf n iff
+        2^k divides n+1; its first leaf is n+1-2^k, which is even.  Each
+        even leaf n stores (its momentum, cumulative momentum sum BEFORE
+        it) at checkpoint slot popcount(n >> 1); an odd leaf n with t
+        trailing ones in binary(n) closes t subtrees whose first-leaf
+        checkpoints sit at slots popcount(n >> 1) down to
+        popcount(n >> 1) - t + 1.  Slot reuse is safe: a slot is only
+        overwritten after every subtree needing its old entry has closed.
         """
 
         def cond(s: _Sub):
@@ -227,29 +230,23 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
 
             n = s.n
             r_sum_new = s.r_sum + r
-            # push checkpoint on even leaves
             is_even = (n % 2) == 0
+            # slot index: popcount(n >> 1)
+            slot = jnp.int32(
+                jnp.sum((n >> jnp.arange(1, max_depth + 1)) & 1)
+            )
+            # push checkpoint on even leaves at `slot`
             r_ckpt = jnp.where(
-                is_even, s.r_ckpt.at[s.p].set(r), s.r_ckpt
+                is_even, s.r_ckpt.at[slot].set(r), s.r_ckpt
             )
             s_ckpt = jnp.where(
-                is_even, s.s_ckpt.at[s.p].set(s.r_sum), s.s_ckpt
+                is_even, s.s_ckpt.at[slot].set(s.r_sum), s.s_ckpt
             )
-            p = jnp.where(is_even, s.p + 1, s.p)
-            # close subtrees on odd leaves: t = trailing ones of n
-            def check_turn(j, val):
-                turning, p = val
-                active = j < t
-                idx = jnp.maximum(p - 1 - j, 0)
-                rho = r_sum_new - s_ckpt[idx]
-                turn_j = _is_turning(inv_mass, r_ckpt[idx], r, rho)
-                turning = turning | (active & turn_j)
-                return turning, p
-
+            # close subtrees on odd leaves: t = trailing ones of n; the
+            # closing subtrees' checkpoints sit at slots slot-j, j < t
             t = jnp.where(
                 is_even,
                 0,
-                # count trailing ones of n
                 jnp.int32(
                     jnp.sum(
                         jnp.cumprod(
@@ -258,16 +255,23 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
                     )
                 ),
             )
-            turning, _ = lax.fori_loop(
-                0, max_depth + 1, check_turn, (s.turning, p)
+
+            def check_turn(j, turning):
+                active = j < t
+                idx = jnp.maximum(slot - j, 0)
+                rho = r_sum_new - s_ckpt[idx]
+                turn_j = _is_turning(inv_mass, r_ckpt[idx], r, rho)
+                return turning | (active & turn_j)
+
+            turning = lax.fori_loop(
+                0, max_depth + 1, check_turn, s.turning
             )
-            p = jnp.where(is_even, p, p - t)
 
             return _Sub(
                 key=key, n=n + 1, z=z, r=r, grad=grad, pe=pe,
                 z_prop=z_prop, pe_prop=pe_prop, grad_prop=grad_prop,
                 log_w=log_w_new, r_sum=r_sum_new,
-                r_ckpt=r_ckpt, s_ckpt=s_ckpt, p=p,
+                r_ckpt=r_ckpt, s_ckpt=s_ckpt,
                 turning=turning, diverging=s.diverging | diverging,
                 accept_sum=accept_sum,
             )
@@ -279,7 +283,6 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             log_w=-jnp.inf, r_sum=jnp.zeros((d,)),
             r_ckpt=jnp.zeros((max_depth, d)),
             s_ckpt=jnp.zeros((max_depth, d)),
-            p=jnp.int32(0),
             turning=jnp.asarray(False), diverging=jnp.asarray(False),
             accept_sum=jnp.asarray(0.0),
         )

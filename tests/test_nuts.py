@@ -116,3 +116,54 @@ def test_energy_conservative_for_tiny_steps():
         k, jax.random.PRNGKey(5), num_warmup=0, num_samples=20, n_chains=4
     )
     assert float(jnp.min(last.mean_accept_prob)) > 0.99
+
+
+def test_uturn_checkpoint_indexing_vs_bruteforce():
+    """The iterative U-turn bookkeeping (nuts.py _build_subtree) must check
+    exactly the balanced-subtree boundaries: at odd leaf n, the subtrees
+    (n+1-2^k .. n) for k = 1..trailing_ones(n), whose first-leaf checkpoints
+    live at slots popcount(n>>1)-k+1 .. popcount(n>>1).  Round-1 regression:
+    a stack-pointer scheme popped live checkpoints and re-checked wrong
+    subtrees, breaking NUTS reversibility (eight-schools log_tau bias)."""
+    max_depth = 6
+    for num_leaves in (2, 4, 8, 16, 32, 64):
+        slot_of = {}  # first leaf -> slot at push time
+        for n in range(num_leaves):
+            if n % 2 == 0:
+                slot = bin(n >> 1).count("1")
+                slot_of[n] = slot
+            else:
+                t = 0
+                m = n
+                while m & 1:
+                    t += 1
+                    m >>= 1
+                idx_max = bin(n >> 1).count("1")
+                for k in range(1, t + 1):
+                    first = n + 1 - 2**k
+                    assert first in slot_of
+                    # the slot the scheme reads for this closing subtree
+                    read_slot = idx_max - (k - 1)
+                    # must equal where that first leaf pushed, and not have
+                    # been overwritten since
+                    assert read_slot == slot_of[first], (n, k)
+                    for m2 in range(first + 2, n, 2):
+                        assert slot_of[m2] != slot_of[first], (n, k, m2)
+
+
+def test_eight_schools_quadrature_truth():
+    """NUTS must reproduce the analytically-known eight-schools marginals:
+    integrating theta_base out gives y_j ~ N(mu, sigma_j^2 + tau^2), so
+    E[log_tau], E[mu] follow from 2-D quadrature (truth: 0.8022, 4.397).
+    Round-1 regression: the broken U-turn stack biased mean(log_tau) +0.05."""
+    t = models.eight_schools_noncentered()
+    k = nuts(t, NUTSConfig(num_warmup=700))
+    samples, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(3), num_warmup=700, num_samples=250,
+        thinning=1, n_chains=48,
+    )
+    s = np.asarray(samples).reshape(-1, t.dim)
+    # ~12k near-iid draws: SE(mean log_tau) ~ 1.17/sqrt(8000) ~ 0.013
+    assert abs(s[:, 1].mean() - 0.8022) < 0.045, s[:, 1].mean()
+    assert abs(s[:, 1].std() - 1.1711) < 0.06, s[:, 1].std()
+    assert abs(s[:, 0].mean() - 4.397) < 0.25, s[:, 0].mean()
