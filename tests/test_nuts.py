@@ -167,3 +167,24 @@ def test_eight_schools_quadrature_truth():
     assert abs(s[:, 1].mean() - 0.8022) < 0.045, s[:, 1].mean()
     assert abs(s[:, 1].std() - 1.1711) < 0.06, s[:, 1].std()
     assert abs(s[:, 0].mean() - 4.397) < 0.25, s[:, 0].mean()
+
+
+def test_kidiq_quadrature_truth():
+    """kidiq has a flat beta prior, so beta|y is centered at OLS exactly and
+    log_sigma moments follow from 1-D quadrature (experiments/quadrature.py).
+    Validates model + kernel against a non-circular ground truth."""
+    from adaptive_mcmc_tpu.experiments.quadrature import kidiq_truth
+
+    truth = kidiq_truth()
+    t = models.kidiq()
+    k = nuts(t, NUTSConfig(num_warmup=500))
+    samples, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(11), num_warmup=500, num_samples=150,
+        thinning=1, n_chains=32,
+    )
+    s = np.asarray(samples).reshape(-1, t.dim)
+    np.testing.assert_allclose(
+        s[:, :3].mean(0), truth["mean_beta"],
+        atol=float(4 * truth["sd_beta"].max() / np.sqrt(500) + 0.05),
+    )
+    assert abs(s[:, 3].mean() - truth["mean_log_sigma"]) < 0.015
