@@ -25,6 +25,8 @@ class RunConfig:
     lr_decay: float = 2.0 / 3.0
     n_seeds: int = 100                # seeds run as one batched chain axis
     chains_per_seed: int = 1
+    fan_out: int = 1                  # post-warmup clones per chain (see
+                                      # parallel.run.fan_state)
     seed0: int = 0
     mesh_devices: Optional[int] = None  # None = all local devices
     out_dir: str = "mcmc_runs"

@@ -84,8 +84,9 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
 
     rng_key = jax.random.PRNGKey(config.seed0)
     t0 = time.time()
-    # bound single device executions (long NUTS scans trip watchdogs)
-    max_steps = {"nuts": 2_000, "sa": 20_000}.get(config.kernel, 200_000)
+    # bound single device executions (long scans trip device watchdogs)
+    max_steps = {"nuts": 20_000, "sa": 50_000}.get(config.kernel, 500_000)
+    F = max(1, config.fan_out)
     samples, extras, last = run_mcmc_sharded(
         kernel,
         rng_key,
@@ -95,6 +96,7 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
         n_chains=n_padded,
         mesh=mesh,
         max_steps_per_call=max_steps,
+        fan_out=F,
         extra_fields=("potential_energy", "as_change")
         if kernel.name in ("arwmh", "rwm", "asss")
         else ("potential_energy",),
@@ -102,7 +104,14 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
     jax.block_until_ready(samples)
     wall = time.time() - t0
 
-    samples = np.asarray(samples)[:, :n_chains]  # (draws, seeds, dim)
+    def _per_seed(a):
+        """(frames, n_padded*F, ...) -> (seeds, frames*F, ...): clones are
+        contiguous per chain; pooled into the seed's draw axis."""
+        a = np.asarray(a)
+        a = a.reshape(a.shape[0], n_padded, F, *a.shape[2:])[:, :n_chains]
+        a = np.moveaxis(a, 0, 1)  # (seeds, frames, F, ...)
+        return a.reshape(a.shape[0], -1, *a.shape[3:])
+
     total_iters = (config.num_warmup + config.num_samples) * n_chains
     meta = {
         "config": json.loads(config.to_json()),
@@ -111,10 +120,8 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
     }
     np.savez_compressed(
         out_path,
-        samples=np.swapaxes(samples, 0, 1),  # (seeds, draws, dim)
-        potential_energy=np.swapaxes(
-            np.asarray(extras["potential_energy"])[:, :n_chains], 0, 1
-        ),
+        samples=_per_seed(samples),  # (seeds, draws, dim)
+        potential_energy=_per_seed(extras["potential_energy"]),
         meta=json.dumps(meta),
     )
     manifest.mark_done(key)

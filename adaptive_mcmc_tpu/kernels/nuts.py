@@ -55,6 +55,9 @@ class NUTSConfig:
     max_tree_depth: int = 10
     num_warmup: int = 0
     max_delta_energy: float = 1000.0
+    # leapfrogs per while-loop trip in the subtree builder (trip-overhead
+    # amortization for lockstep vmapped trees; finished lanes mask to no-ops)
+    unroll_leaves: int = 4
 
 
 class DAState(NamedTuple):
@@ -124,6 +127,13 @@ def _is_turning(inv_mass, r_first, r_last, rho):
     return (jnp.dot(v_first, rho) <= 0.0) | (jnp.dot(v_last, rho) <= 0.0)
 
 
+def _velocity_rows(inv_mass, R):
+    """v_i = M^-1 r_i for a stack of momenta R (k, d)."""
+    if inv_mass.ndim == 1:
+        return inv_mass[None, :] * R
+    return R @ inv_mass  # M^-1 is symmetric
+
+
 # ---------------------------------------------------------------------------
 # Warmup schedule (Stan's 75 / 25-doubling / 50 windows) as constant masks.
 # ---------------------------------------------------------------------------
@@ -160,7 +170,21 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
     potential_vg = jax.value_and_grad(target.potential_fn)
     max_depth = config.max_tree_depth
     max_delta = config.max_delta_energy
+    UNROLL_LEAVES = max(1, config.unroll_leaves)
     in_window_mask, window_end_mask = build_warmup_schedule(config.num_warmup)
+
+    # Checkpoint bookkeeping lookup tables over leaf indices (subtrees hold
+    # at most 2^(max_depth-1) leaves).  Gathers from these shared constants
+    # vmap to one cheap (chains,) gather — unlike per-chain bit-trick op
+    # chains or per-chain `.at[i]` scatters, which XLA lowers to slow
+    # scatter/gather at large chain counts.
+    _n_tab = 1 << max_depth
+    slot_table = jnp.asarray(
+        [bin(i >> 1).count("1") for i in range(_n_tab)], jnp.int32
+    )
+    trail_table = jnp.asarray(
+        [(i ^ (i + 1)).bit_length() - 1 for i in range(_n_tab)], jnp.int32
+    )
 
     def _leapfrog(z, r, grad, eps, inv_mass):
         r = r - 0.5 * eps * grad
@@ -212,6 +236,14 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             return (s.n < num_leaves) & ~s.turning & ~s.diverging
 
         def body(s: _Sub):
+            # Masked no-op when the subtree is already done: `body` is
+            # unrolled UNROLL_LEAVES times per while trip to amortize the
+            # ~5-10 us TPU while-loop trip overhead over several leapfrogs
+            # (vmapped trees run in chain lockstep, so trip count per draw
+            # is the max tree size across the batch — trips dominate wall
+            # at small state dims).  Lanes that finish mid-trip must not
+            # advance state or consume RNG.
+            active = (s.n < num_leaves) & ~s.turning & ~s.diverging
             z, r, pe, grad = _leapfrog(s.z, s.r, s.grad, eps_signed, inv_mass)
             energy = pe + _kinetic(inv_mass, r)
             energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
@@ -231,43 +263,27 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             n = s.n
             r_sum_new = s.r_sum + r
             is_even = (n % 2) == 0
-            # slot index: popcount(n >> 1)
-            slot = jnp.int32(
-                jnp.sum((n >> jnp.arange(1, max_depth + 1)) & 1)
+            slot = slot_table[n]          # popcount(n >> 1)
+            t = trail_table[n]            # trailing ones of n
+            # push checkpoint on even leaves at `slot` (one-hot select, not
+            # a scatter: vmaps to dense elementwise work)
+            onehot = (jnp.arange(max_depth) == slot)[:, None] & is_even
+            r_ckpt = jnp.where(onehot, r[None, :], s.r_ckpt)
+            s_ckpt = jnp.where(onehot, s.r_sum[None, :], s.s_ckpt)
+            # close subtrees on odd leaves: their first-leaf checkpoints sit
+            # at slots (slot - t, slot].  Check ALL slots densely in one
+            # shot and mask — no sequential loop, no per-chain gathers.
+            rho_all = r_sum_new[None, :] - s_ckpt                 # (D, d)
+            v_first = _velocity_rows(inv_mass, r_ckpt)            # (D, d)
+            v_last = _velocity(inv_mass, r)                       # (d,)
+            turn_all = (jnp.sum(v_first * rho_all, axis=-1) <= 0.0) | (
+                rho_all @ v_last <= 0.0
             )
-            # push checkpoint on even leaves at `slot`
-            r_ckpt = jnp.where(
-                is_even, s.r_ckpt.at[slot].set(r), s.r_ckpt
-            )
-            s_ckpt = jnp.where(
-                is_even, s.s_ckpt.at[slot].set(s.r_sum), s.s_ckpt
-            )
-            # close subtrees on odd leaves: t = trailing ones of n; the
-            # closing subtrees' checkpoints sit at slots slot-j, j < t
-            t = jnp.where(
-                is_even,
-                0,
-                jnp.int32(
-                    jnp.sum(
-                        jnp.cumprod(
-                            (n >> jnp.arange(max_depth + 1)) & 1
-                        )
-                    )
-                ),
-            )
+            j = jnp.arange(max_depth)
+            sel = (~is_even) & (j <= slot) & (j > slot - t)
+            turning = s.turning | jnp.any(turn_all & sel)
 
-            def check_turn(j, turning):
-                active = j < t
-                idx = jnp.maximum(slot - j, 0)
-                rho = r_sum_new - s_ckpt[idx]
-                turn_j = _is_turning(inv_mass, r_ckpt[idx], r, rho)
-                return turning | (active & turn_j)
-
-            turning = lax.fori_loop(
-                0, max_depth + 1, check_turn, s.turning
-            )
-
-            return _Sub(
+            stepped = _Sub(
                 key=key, n=n + 1, z=z, r=r, grad=grad, pe=pe,
                 z_prop=z_prop, pe_prop=pe_prop, grad_prop=grad_prop,
                 log_w=log_w_new, r_sum=r_sum_new,
@@ -275,6 +291,14 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
                 turning=turning, diverging=s.diverging | diverging,
                 accept_sum=accept_sum,
             )
+            return jax.tree.map(
+                lambda new, old: jnp.where(active, new, old), stepped, s
+            )
+
+        def body_unrolled(s: _Sub):
+            for _ in range(UNROLL_LEAVES):
+                s = body(s)
+            return s
 
         init = _Sub(
             key=key,
@@ -286,7 +310,7 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             turning=jnp.asarray(False), diverging=jnp.asarray(False),
             accept_sum=jnp.asarray(0.0),
         )
-        return lax.while_loop(cond, body, init)
+        return lax.while_loop(cond, body_unrolled, init)
 
     # -- one NUTS transition (single chain) --------------------------------
     class _Tree(NamedTuple):
@@ -536,7 +560,9 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
         mean_ap = state.mean_accept_prob
         mean_ap = mean_ap + (accept_prob - mean_ap) / n
 
-        # --- warmup adaptation (masked; no-ops after warmup) --------------
+        # --- warmup adaptation (scalar-gated: the iteration counter is a
+        # scalar, so lax.cond skips this entire block post-warmup and the
+        # Welford finalize + DA restart run only at window boundaries) ----
         if config.num_warmup > 0 and (
             config.adapt_step_size or config.adapt_mass_matrix
         ):
@@ -544,49 +570,49 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             in_win = in_window_mask[idx] & in_warmup
             win_end = window_end_mask[idx] & in_warmup
 
-            da = _da_update(adapt.da, accept_prob)
-            da = jax.tree.map(
-                lambda new, old: jnp.where(
-                    in_warmup & jnp.asarray(config.adapt_step_size), new, old
-                ),
-                da, adapt.da,
-            )
+            def _adapted(operand):
+                adapt, accept_prob, z_new = operand
+                da = (
+                    _da_update(adapt.da, accept_prob)
+                    if config.adapt_step_size
+                    else adapt.da
+                )
+                if config.adapt_mass_matrix:
+                    wf = lax.cond(
+                        in_win,
+                        lambda w: jax.vmap(_welford_update)(w, z_new),
+                        lambda w: w,
+                        adapt.welford,
+                    )
 
-            if config.adapt_mass_matrix:
-                wf_new = jax.vmap(_welford_update)(adapt.welford, z_new)
-                wf = jax.tree.map(
-                    lambda new, old: jnp.where(
-                        jnp.reshape(in_win, (-1,) + (1,) * (new.ndim - 1))
-                        if new.ndim >= 1 else in_win,
-                        new, old,
-                    ),
-                    wf_new, adapt.welford,
-                )
-                inv_mass_f, chol_f = jax.vmap(_welford_finalize)(wf)
-                mask = jnp.reshape(win_end, (-1,) + (1,) * (adapt.inv_mass.ndim - 1))
-                inv_mass = jnp.where(mask, inv_mass_f, adapt.inv_mass)
-                chol = jnp.where(mask, chol_f, adapt.chol_inv_mass)
-                wf = jax.tree.map(
-                    lambda fresh, cur: jnp.where(
-                        jnp.reshape(win_end, (-1,) + (1,) * (cur.ndim - 1))
-                        if cur.ndim >= 1 else win_end,
-                        fresh, cur,
-                    ),
-                    _fresh_welford(C), wf,
-                )
-            else:
-                inv_mass, chol, wf = (
-                    adapt.inv_mass, adapt.chol_inv_mass, adapt.welford
+                    def _close_window(_):
+                        inv_f, chol_f = jax.vmap(_welford_finalize)(wf)
+                        da2 = (
+                            _da_init(da.log_eps, C)
+                            if config.adapt_step_size
+                            else da
+                        )
+                        return inv_f, chol_f, _fresh_welford(C), da2
+
+                    def _keep(_):
+                        return adapt.inv_mass, adapt.chol_inv_mass, wf, da
+
+                    inv_mass, chol, wf, da = lax.cond(
+                        win_end, _close_window, _keep, None
+                    )
+                else:
+                    inv_mass, chol, wf = (
+                        adapt.inv_mass, adapt.chol_inv_mass, adapt.welford
+                    )
+                return NUTSAdaptState(
+                    da=da, inv_mass=inv_mass, chol_inv_mass=chol, welford=wf
                 )
 
-            # restart dual averaging when the mass matrix changes
-            if config.adapt_step_size and config.adapt_mass_matrix:
-                da_restart = _da_init(da.log_eps, C)
-                da = jax.tree.map(
-                    lambda r, cur: jnp.where(win_end, r, cur), da_restart, da
-                )
-            adapt = NUTSAdaptState(
-                da=da, inv_mass=inv_mass, chol_inv_mass=chol, welford=wf
+            adapt = lax.cond(
+                in_warmup,
+                _adapted,
+                lambda operand: operand[0],
+                (adapt, accept_prob, z_new),
             )
 
         return NUTSState(

@@ -46,6 +46,32 @@ def _constrain_chain_axis(state, mesh: Mesh, n_chains: int):
     return jax.tree.map(put, state)
 
 
+def fan_state(state, fan: int):
+    """Clone every chain ``fan`` times (clones contiguous per chain): each
+    per-chain leaf (C, ...) tiles to (C*fan, ...) and the per-chain RNG
+    keys are split so clones get independent streams.
+
+    Statistical note: cloning a chain state and continuing with fresh keys
+    preserves the chain's marginal distribution exactly — for kernels whose
+    post-warmup transition is frozen (NUTS, SA after adaptation) the pooled
+    clone draws are distributed identically to one long chain's.  For
+    still-adapting kernels (ARWMH/ASSS diminishing adaptation) each clone
+    runs its own post-warmup adaptation clock, so fanning trades a shorter
+    per-clone adaptation tail for wall-clock — verify quality parity before
+    adopting it for those."""
+    C = state.rng_key.shape[0]
+
+    def tile(a):
+        if hasattr(a, "ndim") and a.ndim >= 1 and a.shape[0] == C:
+            return jnp.repeat(a, fan, axis=0)
+        return a
+
+    new = jax.tree.map(tile, state)
+    keys = jax.vmap(lambda k: jax.random.split(k, fan))(state.rng_key)
+    keys = keys.reshape((C * fan,) + keys.shape[2:])
+    return new._replace(rng_key=keys)
+
+
 def run_mcmc_sharded(
     kernel,
     rng_key: Array,
@@ -59,6 +85,7 @@ def run_mcmc_sharded(
     extra_fields: Sequence[str] = (),
     init_state=None,
     max_steps_per_call: Optional[int] = None,
+    fan_out: int = 1,
 ):
     """Chain-sharded version of ``infer.run_mcmc`` — same semantics, state
     split over the mesh's ``chains`` axis.  ``n_chains`` must divide by the
@@ -67,14 +94,22 @@ def run_mcmc_sharded(
     ``max_steps_per_call`` bounds the kernel steps executed inside one
     device program: very long single executions (minutes) can trip device
     watchdogs — observed with 110k-step NUTS scans on v5e — so long runs
-    are split into multiple launches with the state threaded through."""
+    are split into multiple launches with the state threaded through.
+
+    ``fan_out=F`` warms up ``n_chains`` chains, then clones each into F
+    chains (:func:`fan_state`) and collects ``num_samples // F`` sampling
+    iterations per clone — the total sampling work is unchanged but runs
+    F-wide.  Collected arrays come back with a (..., n_chains*F, ...) chain
+    axis, clone-major within each original chain."""
     mesh = mesh if mesh is not None else chain_mesh()
     n_dev = mesh.devices.size
     assert n_chains % n_dev == 0, (
         f"n_chains ({n_chains}) must be a multiple of the mesh size ({n_dev})"
     )
-    assert num_samples % thinning == 0
-    num_collect = num_samples // thinning
+    assert num_samples % (thinning * fan_out) == 0, (
+        "num_samples must divide by thinning * fan_out"
+    )
+    num_collect = num_samples // thinning // fan_out
     sample_field = kernel.sample_field
 
     @jax.jit
@@ -113,6 +148,14 @@ def run_mcmc_sharded(
         state = _warm(state, todo)
         jax.block_until_ready(state.position)
         done += todo
+
+    if fan_out > 1:
+        state = jax.jit(fan_state, static_argnames=("fan",))(
+            state, fan=fan_out
+        )
+        state = jax.jit(
+            lambda s: _constrain_chain_axis(s, mesh, n_chains * fan_out)
+        )(state)
 
     frames_per_call = max(1, cap // thinning)
     chunks = []

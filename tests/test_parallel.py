@@ -63,3 +63,35 @@ def test_sharded_rhat_matches_local():
     want = gelman_rubin(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fan_out_shapes_and_streams():
+    """fan_state clones chains with independent RNG streams; the fanned
+    sharded run returns (frames, C*F, d) with clones contiguous per chain
+    and all clones producing distinct draws."""
+    import numpy as np
+    from adaptive_mcmc_tpu import ARWMHConfig, arwmh, models
+    from adaptive_mcmc_tpu.parallel import chain_mesh
+    from adaptive_mcmc_tpu.parallel.run import fan_state, run_mcmc_sharded
+
+    t = models.std_normal(3)
+    k = arwmh(t, ARWMHConfig(num_warmup=0))
+    state = k.init(jax.random.PRNGKey(0), n_chains=8)
+    fanned = fan_state(state, 4)
+    assert fanned.position.shape == (32, 3)
+    # clones start identical...
+    pos = np.asarray(fanned.position).reshape(8, 4, 3)
+    np.testing.assert_array_equal(pos, np.repeat(
+        np.asarray(state.position)[:, None], 4, axis=1))
+    # ...but keys differ across all 32 chains
+    keys = np.asarray(jax.random.key_data(fanned.rng_key))
+    assert len({tuple(r) for r in keys.reshape(32, -1)}) == 32
+
+    samples, _, _ = run_mcmc_sharded(
+        k, jax.random.PRNGKey(1), 16, 64, thinning=2, n_chains=8,
+        mesh=chain_mesh(8), fan_out=4,
+    )
+    assert samples.shape == (8, 32, 3)  # 64/(2*4) frames, 8*4 chains
+    s = np.asarray(samples)
+    # all clones moved apart after sampling
+    assert len({tuple(s[-1, c]) for c in range(32)}) == 32
