@@ -37,6 +37,11 @@ from adaptive_mcmc_tpu import (  # noqa: E402
 )
 from adaptive_mcmc_tpu.analysis.contraction_curves import (  # noqa: E402
     contraction_decay_curve,
+    taus_finite_difference_arctan,
+)
+from adaptive_mcmc_tpu.kernels.asss import (  # noqa: E402
+    ASSSAdaptState,
+    ASSSConfig,
 )
 from adaptive_mcmc_tpu.analysis.invariance import (  # noqa: E402
     push_through_kernel,
@@ -56,6 +61,106 @@ def _frozen_arwmh(target, loc=0.0, scale=1.0, step=1.0):
         log_step_size=jnp.full((1,), jnp.log(step)),
     )
     return k, adapt
+
+
+def _frozen_asss(target, loc=0.0, scale=1.0):
+    k = asss(target, ASSSConfig(adapt=False))
+    adapt = ASSSAdaptState(
+        loc=jnp.full((1, target.dim), loc),
+        scale=scale * jnp.eye(target.dim)[None],
+    )
+    return k, adapt
+
+
+def _arctan_probe_grid(n=50, lim=2.5):
+    """x = tan(φ) probe grid, dense near the mode, thin in the tails —
+    the reference's SSS probe layout (asumptions_check.ipynb cell 83)."""
+    phis = np.linspace(-np.arctan(lim), np.arctan(lim), n)
+    return jnp.asarray(np.tan(phis))
+
+
+def fig_sss_x_contraction(out_dir: Path, n_samples=100_000):
+    """Per-probe τ_x(P^n) curves for the frozen ASSS kernel on the 1-D
+    mixture — asumptions_check.ipynb cells 84-87
+    (sss-mixture-x-contraction-m{0,1}.svg)."""
+    target = models.gaussian_mixture_1d()
+    xs = _arctan_probe_grid(50)
+    for loc, n_list, fname in [
+        (0.0, (1, 2, 5), "sss-mixture-x-contraction-m0"),
+        (1.0, (1, 5, 10), "sss-mixture-x-contraction-m1"),
+    ]:
+        k, adapt = _frozen_asss(target, loc=loc, scale=1.0)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for i, n in enumerate(n_list):
+            taus = taus_finite_difference_arctan(
+                k, jax.random.fold_in(jax.random.PRNGKey(0), i),
+                xs, adapt, n_steps=int(n), n_samples=n_samples,
+            )
+            ax.plot(np.asarray(xs), np.asarray(taus), label=f"$n$ = {n}")
+        ax.set_title(rf"$\mu = {loc:g}, \sigma = 1$")
+        ax.set_xlabel("$x$")
+        ax.set_ylabel(r"contraction estimate $\tau_x(P^n)$")
+        ax.legend(loc="upper right")
+        fig.savefig(out_dir / f"{fname}.svg", bbox_inches="tight")
+        plt.close(fig)
+
+
+def fig_sss_contraction_decay(out_dir: Path, n_samples=50_000):
+    """max_x τ(P_σ^n) decay curves for ASSS adapt states
+    (loc, σ) ∈ {0,1} × {0.1, 1, 10} — asumptions_check.ipynb cells 91-96
+    (sss-mixture-contraction-decrease-m{0,1}.svg)."""
+    target = models.gaussian_mixture_1d()
+    xs = _arctan_probe_grid(24)
+    ns = (1, 5, 10, 20)
+    for loc, fname in [
+        (0.0, "sss-mixture-contraction-decrease-m0"),
+        (1.0, "sss-mixture-contraction-decrease-m1"),
+    ]:
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for sigma, color in [(0.1, "orange"), (1.0, "blue"), (10.0, "red")]:
+            k, adapt = _frozen_asss(target, loc=loc, scale=sigma)
+            taus = contraction_decay_curve(
+                k, jax.random.PRNGKey(0), xs, adapt, ns=ns,
+                taus_fn=taus_finite_difference_arctan,
+                n_samples=n_samples,
+            )
+            ax.plot(ns, np.asarray(taus), ".-", color=color,
+                    label=rf"$\mu={loc:g}, \sigma = {sigma:g}$")
+        ax.axhline(1.0, ls="--", color="gray")
+        ax.set_xticks(ns)
+        ax.set_xlabel("power $n$")
+        ax.set_ylabel(r"contraction estimate $\tau(P_\sigma^n)$")
+        ax.legend(loc="upper right")
+        fig.savefig(out_dir / f"{fname}.svg", bbox_inches="tight")
+        plt.close(fig)
+
+
+def fig_sss_kernel_distance(out_dir: Path):
+    """ρ(P_σ, P_1) for frozen ASSS kernels as the adapt-state scale moves —
+    the SSS side of asumptions_check cells 100-110."""
+    target = models.std_normal(1)
+    x = jnp.linspace(-2, 2, 12)
+    k1, a1 = _frozen_asss(target, scale=1.0)
+    rhos = []
+    sigmas = np.array([0.25, 0.5, 1.0, 2.0, 4.0])
+    for s in sigmas:
+        k2, a2 = _frozen_asss(target, scale=float(s))
+        rho, _, _ = compute_kernel_distance_1d(
+            make_sample_px(k2, a2),
+            make_sample_px(k1, a1),
+            jax.random.PRNGKey(0),
+            x,
+            sample_batch_size=2000,
+            n_eval_batches=16,
+            max_steps=40,
+        )
+        rhos.append(float(rho))
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogx(sigmas, rhos, "o-")
+    ax.set_xlabel(r"adapt-state scale $\sigma$")
+    ax.set_ylabel(r"$\rho(P_\sigma, P_1)$ (ASSS)")
+    fig.savefig(out_dir / "sss-kernel-distance.svg", bbox_inches="tight")
+    plt.close(fig)
 
 
 def fig_invariance(out_dir: Path, n=200_000):
@@ -222,6 +327,9 @@ ALL_FIGURES = {
     "contraction": fig_contraction_decay,
     "kernel_distance": fig_kernel_distance,
     "adaptation_drift": fig_adaptation_drift,
+    "sss_x_contraction": fig_sss_x_contraction,
+    "sss_contraction": fig_sss_contraction_decay,
+    "sss_kernel_distance": fig_sss_kernel_distance,
 }
 
 

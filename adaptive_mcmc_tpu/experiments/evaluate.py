@@ -176,6 +176,8 @@ def evaluate_run(
     *,
     n_workers: Optional[int] = None,
     exact_wasserstein_seeds: Optional[int] = None,
+    exact_w_solver: str = "auction",
+    hungarian_check_seeds: int = 1,
     sinkhorn: bool = True,
     verbose: bool = False,
 ):
@@ -183,15 +185,23 @@ def evaluate_run(
     DataFrame (and writes CSV if requested).
 
     Cost split: moment RMSE / MMD / Sinkhorn run on the accelerator for
-    every seed; the exact 1-1 Wasserstein (O(n^3) Hungarian at n=10k,
-    ~45 s/seed/core) runs on the host for the first
-    ``exact_wasserstein_seeds`` seeds (None = all; the reference's
-    per-seed W spread is tiny — ±0.003 — so a subset already pins the
-    mean) and over a process pool on multi-core hosts."""
+    every seed.  The exact 1-1 Wasserstein runs for the first
+    ``exact_wasserstein_seeds`` seeds (None = all) with the selected
+    solver:
+
+    * ``"auction"`` (default) — the on-device ε-auction (~6 s/seed at
+      n=10k on a v5e chip; mean assigned cost within ε_final ≈
+      range/(2e4) of optimal).  The first ``hungarian_check_seeds``
+      seeds are ALSO solved with the exact host Hungarian and the two
+      must agree to 2e-3 — a per-run guard against auction regressions.
+    * ``"host"`` — exact Hungarian for every covered seed (O(n³), ~90
+      s/seed/core at n=10k; process pool on multi-core hosts)."""
     import concurrent.futures as cf
     import os
 
     import pandas as pd
+
+    from adaptive_mcmc_tpu.metrics.wasserstein import wasserstein_dist11_p
 
     with np.load(run_npz, allow_pickle=False) as data:
         samples = data["samples"]  # (seeds, draws, dim)
@@ -215,24 +225,46 @@ def evaluate_run(
     k = S if exact_wasserstein_seeds is None else min(
         S, exact_wasserstein_seeds
     )
-    y_np = np.asarray(reference, np.float64)
-    jobs = [(np.asarray(samples[s], np.float64), y_np) for s in range(k)]
-    n_workers = n_workers or min(12, os.cpu_count() or 1)
-    if n_workers > 1 and k > 1:
-        import multiprocessing as mp
-
-        # spawn (not fork): the parent holds a live TPU client; workers
-        # only need numpy + the native solver.
-        with cf.ProcessPoolExecutor(
-            max_workers=n_workers, mp_context=mp.get_context("spawn")
-        ) as pool:
-            wass = list(pool.map(_wasserstein_worker, jobs, chunksize=1))
-    else:
+    if exact_w_solver == "auction":
+        n_draws = min(samples.shape[1], reference.shape[0])
+        y_dev = jnp.asarray(reference[:n_draws])
         wass = []
-        for i, j in enumerate(jobs):
-            wass.append(_wasserstein_worker(j))
-            if verbose:
-                print(f"  [wasserstein] seed {i+1}/{k}", flush=True)
+        for s in range(k):
+            w = wasserstein_dist11_p(
+                jnp.asarray(samples[s, :n_draws]), y_dev, solver="auction"
+            )
+            if s < hungarian_check_seeds:
+                w_exact = _wasserstein_worker(
+                    (np.asarray(samples[s], np.float64),
+                     np.asarray(reference, np.float64))
+                )
+                if abs(w - w_exact) > 2e-3 * max(1.0, abs(w_exact)):
+                    raise AssertionError(
+                        f"auction W {w:.6f} disagrees with exact Hungarian "
+                        f"{w_exact:.6f} on seed {s}"
+                    )
+            wass.append(float(w))
+            if verbose and (s + 1) % 20 == 0:
+                print(f"  [wasserstein] seed {s+1}/{k}", flush=True)
+    else:
+        y_np = np.asarray(reference, np.float64)
+        jobs = [(np.asarray(samples[s], np.float64), y_np) for s in range(k)]
+        n_workers = n_workers or min(12, os.cpu_count() or 1)
+        if n_workers > 1 and k > 1:
+            import multiprocessing as mp
+
+            # spawn (not fork): the parent holds a live TPU client; workers
+            # only need numpy + the native solver.
+            with cf.ProcessPoolExecutor(
+                max_workers=n_workers, mp_context=mp.get_context("spawn")
+            ) as pool:
+                wass = list(pool.map(_wasserstein_worker, jobs, chunksize=1))
+        else:
+            wass = []
+            for i, j in enumerate(jobs):
+                wass.append(_wasserstein_worker(j))
+                if verbose:
+                    print(f"  [wasserstein] seed {i+1}/{k}", flush=True)
     wass += [float("nan")] * (S - k)
 
     df = pd.DataFrame(

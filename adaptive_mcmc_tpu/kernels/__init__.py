@@ -3,7 +3,6 @@ from adaptive_mcmc_tpu.kernels.arwmh import (  # noqa: F401
     ARWMHAdaptState,
     ARWMHConfig,
     ARWMHState,
-    RWMConfig,
     arwmh,
     rwm,
 )

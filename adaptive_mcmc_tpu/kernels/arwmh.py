@@ -188,9 +188,3 @@ def rwm(target, scale: Optional[Array] = None, step_size: float = 1.0,
         return st._replace(adapt_state=adapt)
 
     return dataclasses.replace(k, name="rwm", init=init)
-
-
-@dataclasses.dataclass(frozen=True)
-class RWMConfig:
-    step_size: float = 1.0
-    eps: float = 1e-6

@@ -6,11 +6,14 @@ Three backends behind one dispatch (cheapest-correct first):
   first use with ``make`` and loaded through ctypes.  Exact, host-side, and
   the fastest exact option at the n=10k scale the eval scripts use.
 * ``scipy`` — ``scipy.optimize.linear_sum_assignment`` fallback (exact).
-* ``auction`` — a JAX Bertsekas auction with ε-scaling that runs ON DEVICE:
-  every round is a dense top-2-per-row reduction over the cost matrix, so
-  it vectorizes over the VPU and never ships the O(n²) cost matrix to the
-  host.  ε-approximate (within n·ε_final of optimal) — used when the cost
-  matrix already lives in TPU HBM and an approximation suffices.
+* ``auction`` — a JAX Bertsekas auction with ε-scaling and block bidding
+  that runs ON DEVICE: each round is a top-2 reduction over a
+  (block, m) slice of the cost matrix, so work tracks the number of bids
+  and the O(n²) cost matrix never ships to the host.  ε-approximate
+  (mean assigned cost within ε_final ≈ range/(10n) of the exact 1-1
+  Wasserstein) — the sweep-scale solver on this host (1 CPU core: the
+  exact host Hungarian needs ~90 s/seed at n=10k; the auction runs the
+  whole thing in TPU HBM).
 """
 
 from __future__ import annotations
@@ -90,15 +93,27 @@ def linear_sum_assignment(
 # On-device ε-auction (Bertsekas 1988) with ε-scaling.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_rounds",))
-def _auction_one_eps(benefit, prices, eps, max_rounds):
-    """Run the Jacobi auction to completion at one ε.  Each round:
-    every unassigned row bids (top-2 reduction over its value row), each
-    column keeps the best bid, displaced rows re-enter the pool.  All
-    scatter steps are segment reductions — no dense (n, m) temporaries."""
+@partial(jax.jit, static_argnames=("max_rounds", "block"))
+def _auction_chunk(benefit, prices, col_owner, row_to_col, eps, max_rounds,
+                   block=1024):
+    """Run up to ``max_rounds`` auction rounds at one ε with BLOCK bidding:
+    each round gathers up to ``block`` unassigned rows and only those rows
+    bid (top-2 reduction over a (block, m) slice), each column keeps the
+    best bid, displaced rows re-enter the pool.
+
+    Why blocks: the total work of an ε-scaled auction is proportional to
+    the number of bids, which is ~O(n) per ε level in practice — but a
+    naive all-rows Jacobi round costs O(n·m) even when a single row is
+    left bidding, turning the endgame into thousands of full-matrix
+    passes (measured minutes per n=10k solve).  Block rounds cost
+    O(block·m), so total traffic tracks the bid count.
+
+    Why chunks: one unbounded while_loop program can run for minutes and
+    trip the device watchdog (observed: remote TPU worker crash on the
+    dense variant); callers re-enter with the carried state instead."""
     n, m = benefit.shape
-    rows = jnp.arange(n, dtype=jnp.int32)
     cols = jnp.arange(m, dtype=jnp.int32)
+    brange = jnp.arange(block)
 
     def cond(val):
         _, _, row_to_col, it = val
@@ -107,20 +122,29 @@ def _auction_one_eps(benefit, prices, eps, max_rounds):
     def body(val):
         prices, col_owner, row_to_col, it = val
         unassigned = row_to_col < 0                      # (n,)
-        values = benefit - prices[None, :]               # (n, m)
-        top2_vals, top2_idx = lax.top_k(values, 2)
-        best_j = top2_idx[:, 0].astype(jnp.int32)        # (n,)
-        bid = prices[best_j] + (top2_vals[:, 0] - top2_vals[:, 1]) + eps
-        bid = jnp.where(unassigned, bid, -jnp.inf)
+        idx = jnp.nonzero(unassigned, size=block, fill_value=n)[0].astype(
+            jnp.int32
+        )                                                # (block,)
+        valid = idx < n
+        # padded lanes gather 0-benefit rows; their bids are masked below
+        vals = (
+            benefit.at[idx].get(mode="fill", fill_value=0.0)
+            - prices[None, :]
+        )                                                # (block, m)
+        v1 = jnp.max(vals, axis=-1)
+        j1 = jnp.argmax(vals, axis=-1).astype(jnp.int32)
+        v2 = jnp.max(vals.at[brange, j1].set(-jnp.inf), axis=-1)
+        bid = prices[j1] + (v1 - v2) + eps
+        bid = jnp.where(valid, bid, -jnp.inf)
         # best bid per column via scatter-max
-        win_bid = jnp.full((m,), -jnp.inf).at[best_j].max(bid)
+        win_bid = jnp.full((m,), -jnp.inf).at[j1].max(bid)
         got_bid = jnp.isfinite(win_bid)
         # deterministic winner among tied top bidders: lowest row index
-        is_win = unassigned & (bid >= win_bid[best_j]) & jnp.isfinite(bid)
+        is_win = valid & (bid >= win_bid[j1])
         win_row = (
             jnp.full((m,), n, jnp.int32)
-            .at[jnp.where(is_win, best_j, m)]
-            .min(rows, mode="drop")
+            .at[jnp.where(is_win, j1, m)]
+            .min(idx, mode="drop")
         )
         # displace previous owners of re-auctioned columns
         prev_owner = jnp.where(got_bid, col_owner, -1)
@@ -135,34 +159,49 @@ def _auction_one_eps(benefit, prices, eps, max_rounds):
         ].set(cols, mode="drop")
         return prices, col_owner, row_to_col, it + 1
 
-    init = (
-        prices,
-        jnp.full((m,), -1, jnp.int32),
-        jnp.full((n,), -1, jnp.int32),
-        jnp.int32(0),
-    )
-    prices, _, row_to_col, _ = lax.while_loop(cond, body, init)
-    return prices, row_to_col
+    init = (prices, col_owner, row_to_col, jnp.int32(0))
+    prices, col_owner, row_to_col, _ = lax.while_loop(cond, body, init)
+    return prices, col_owner, row_to_col
 
 
 def auction_assignment(
     cost: jax.Array,
     eps_final: Optional[float] = None,
     scaling_factor: float = 5.0,
-    max_rounds: int = 200_000,
+    max_rounds: int = 400_000,
+    block: int = 1024,
+    rounds_per_call: int = 8_192,
 ) -> jax.Array:
-    """ε-scaled Jacobi auction on device.  cost: (n, m), n <= m.  Returns
-    row->col (n,).  Total cost is within n·ε_final of optimal."""
+    """ε-scaled auction on device.  cost: (n, m), n <= m.  Returns
+    row->col (n,).  Total cost is within n·ε_final of optimal (mean
+    assigned cost within ε_final of the exact 1-1 Wasserstein).
+
+    Each device program is bounded at ``rounds_per_call`` rounds; the
+    (prices, assignment) carry is re-entered from the host so a hard
+    instance can never wedge the chip."""
     cost = jnp.asarray(cost, jnp.float32)
-    n, _ = cost.shape
+    n, m = cost.shape
     benefit = -cost
     rng = float(jnp.max(cost) - jnp.min(cost))
     if eps_final is None:
-        eps_final = max(rng, 1e-6) / (10.0 * n)
+        # mean assigned cost within eps_final of optimal; range/(2n) keeps
+        # the error ~2e-4·range — below the 1e-3 table precision — while
+        # running ~3x faster than range/(10n) (fewer endgame price wars)
+        eps_final = max(rng, 1e-6) / (2.0 * n)
     eps = max(rng / 2.0, eps_final)
-    prices = jnp.zeros((cost.shape[1],))
+    prices = jnp.zeros((m,))
     while True:
-        prices, row_to_col = _auction_one_eps(benefit, prices, eps, max_rounds)
+        col_owner = jnp.full((m,), -1, jnp.int32)
+        row_to_col = jnp.full((n,), -1, jnp.int32)
+        spent = 0
+        while spent < max_rounds:
+            prices, col_owner, row_to_col = _auction_chunk(
+                benefit, prices, col_owner, row_to_col, eps,
+                rounds_per_call, block,
+            )
+            spent += rounds_per_call
+            if not bool(jnp.any(row_to_col < 0)):
+                break
         if eps <= eps_final:
             return row_to_col
         eps = max(eps / scaling_factor, eps_final)

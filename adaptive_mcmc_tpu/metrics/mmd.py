@@ -17,7 +17,9 @@ def _sq_dists(x: jax.Array, y: jax.Array) -> jax.Array:
     """Pairwise squared Euclidean distances via the Gram trick (one matmul)."""
     xx = jnp.sum(x * x, axis=1)
     yy = jnp.sum(y * y, axis=1)
-    xy = x @ y.T
+    # HIGHEST: default TPU f32 matmul precision (bf16 passes) perturbs the
+    # Gram term enough to move reported metric values at the 1e-3 level
+    xy = jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * xy, 0.0)
 
 

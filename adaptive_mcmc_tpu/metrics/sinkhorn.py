@@ -25,7 +25,10 @@ from jax import lax
 def _euclidean_cost(x: jax.Array, y: jax.Array) -> jax.Array:
     xx = jnp.sum(x * x, axis=1)
     yy = jnp.sum(y * y, axis=1)
-    sq = jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * (x @ y.T), 0.0)
+    # HIGHEST: see metrics/wasserstein.py — bf16-pass matmuls shift costs
+    # by ~4e-4 relative, visible in the reported tables
+    gram = jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
+    sq = jnp.maximum(xx[:, None] + yy[None, :] - 2.0 * gram, 0.0)
     return jnp.sqrt(sq + 1e-30)
 
 

@@ -37,8 +37,9 @@ def max_sliced_wasserstein(
     d = mu.shape[1]
     dirs = jax.random.normal(rng_key, (n_directions, d))
     dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
-    proj_mu = mu @ dirs.T  # (n, D)
-    proj_nu = nu @ dirs.T
+    hi = jax.lax.Precision.HIGHEST  # bf16-pass default shifts projections
+    proj_mu = jnp.matmul(mu, dirs.T, precision=hi)  # (n, D)
+    proj_nu = jnp.matmul(nu, dirs.T, precision=hi)
     w = wasserstein_1d(proj_mu.T, proj_nu.T, p=p)  # (D,)
     return jnp.max(w)
 
@@ -56,5 +57,10 @@ def sliced_wasserstein(
     d = mu.shape[1]
     dirs = jax.random.normal(rng_key, (n_directions, d))
     dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
-    w = wasserstein_1d((mu @ dirs.T).T, (nu @ dirs.T).T, p=p)
+    hi = jax.lax.Precision.HIGHEST
+    w = wasserstein_1d(
+        jnp.matmul(mu, dirs.T, precision=hi).T,
+        jnp.matmul(nu, dirs.T, precision=hi).T,
+        p=p,
+    )
     return jnp.mean(w**p) ** (1.0 / p)

@@ -27,7 +27,11 @@ def minkowski_cost_matrix(u: jax.Array, v: jax.Array, ord: float = 2.0):
     if ord == 2.0:
         uu = jnp.sum(u * u, axis=1)
         vv = jnp.sum(v * v, axis=1)
-        sq = jnp.maximum(uu[:, None] + vv[None, :] - 2.0 * (u @ v.T), 0.0)
+        # HIGHEST: the TPU default runs f32 matmuls through bf16 passes,
+        # which perturbs distances by ~4e-4 relative — visible at the
+        # 1e-3 precision the W tables are reported to.
+        gram = jnp.matmul(u, v.T, precision=jax.lax.Precision.HIGHEST)
+        sq = jnp.maximum(uu[:, None] + vv[None, :] - 2.0 * gram, 0.0)
         return jnp.sqrt(sq)
     diff = jnp.abs(u[:, None, :] - v[None, :, :])
     return jnp.sum(diff**ord, axis=-1) ** (1.0 / ord)

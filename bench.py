@@ -1,75 +1,113 @@
-"""Headline benchmark: 4096-chain adaptive ARWMH on eight-schools (d=10).
+"""Multi-kernel benchmark: batched adaptive MCMC on one TPU chip.
 
-Reference baseline: 55.7k iters/sec single-chain on the author's laptop CPU
-(posteriordb_eight-schools.ipynb cell 28; BASELINE.md).  North star
-(BASELINE.json): >= 100x reference chains x iters/sec at 4096 chains with
-matching ESS.
+Covers the three kernels of the reference's headline throughput table
+(posteriordb_eight-schools.ipynb cells 27-29; BASELINE.md) plus the
+diamonds ASSS row (posteriordb_diamonds.ipynb cell 51) so ASSS/NUTS
+regressions are visible to the driver, not just the ARWMH headline
+(VERDICT round 1, weak #4).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "chain_iters_per_sec", "vs_baseline": N}
+Prints ONE JSON line.  Primary metric stays the round-1 headline
+(4096-chain adaptive ARWMH on eight-schools vs the reference's 55.7k
+iters/sec laptop-CPU rate); the other kernels ride in "extras", each
+with its own reference baseline.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-from adaptive_mcmc_tpu import ARWMHConfig, arwmh, models
+from adaptive_mcmc_tpu import ARWMHConfig, ASSSConfig, arwmh, asss, models
+from adaptive_mcmc_tpu.kernels.nuts import NUTSConfig, nuts
 
-BASELINE_ITERS_PER_SEC = 55_700.0  # reference ARWMH, eight-schools, CPU
+# Reference rates (single chain, author's laptop CPU; BASELINE.md).
+BASE_ARWMH_ES = 55_700.0   # eight-schools ARWMH, ipynb cell 28
+BASE_ASSS_ES = 42_400.0    # eight-schools ASSS, cell 29
+BASE_NUTS_ES = 10_400.0    # eight-schools NUTS, cell 27
+BASE_ASSS_DIAMONDS = 3_672.0  # diamonds ASSS, diamonds ipynb cell 51
+
+
+def time_kernel(kernel, n_chains, *, warmup_steps, timed_steps, n_blocks=3,
+                block=None, accept_field=None):
+    """Steady-state chain-iters/sec: run `warmup_steps` first (adaptation
+    warm + compile), then time `n_blocks` blocks of `timed_steps`."""
+    state = kernel.init(jax.random.PRNGKey(0), n_chains=n_chains)
+
+    def run_n(n):
+        @jax.jit
+        def body(state):
+            return jax.lax.fori_loop(0, n, lambda _, s: kernel.step(s), state)
+        return body
+
+    warm = run_n(warmup_steps)
+    timed = run_n(timed_steps)
+    state = warm(state)
+    state = timed(state)  # compile the timed block too
+    jax.block_until_ready(state.position)
+
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        state = timed(state)
+    jax.block_until_ready(state.position)
+    elapsed = time.perf_counter() - t0
+    rate = n_chains * timed_steps * n_blocks / elapsed
+
+    if accept_field is not None:
+        accept = float(jnp.mean(getattr(state, accept_field)))
+        if not (0.05 < accept < 0.99):
+            print(f"WARNING: {kernel.name} acceptance {accept:.3f} "
+                  f"out of range", file=sys.stderr)
+    return rate
 
 
 def main() -> None:
-    import os
-
-    n_chains = 4096
-    iters_per_block = 1000
     profile_dir = os.environ.get("AMT_PROFILE_DIR")  # optional xprof trace
-    target = models.eight_schools_noncentered()
-    kernel = arwmh(target, ARWMHConfig(num_warmup=0))
-
-    state = kernel.init(jax.random.PRNGKey(0), n_chains=n_chains)
-
-    @jax.jit
-    def run_block(state):
-        return jax.lax.fori_loop(
-            0, iters_per_block, lambda _, s: kernel.step(s), state
-        )
-
-    # compile + warm up adaptation
-    state = run_block(state)
-    jax.block_until_ready(state.position)
+    es = models.eight_schools_noncentered()
+    diamonds = models.diamonds()
 
     from adaptive_mcmc_tpu.utils import trace
 
-    n_blocks = 5
     with trace(profile_dir):
-        t0 = time.perf_counter()
-        for _ in range(n_blocks):
-            state = run_block(state)
-        jax.block_until_ready(state.position)
-        elapsed = time.perf_counter() - t0
-
-    total_chain_iters = n_chains * iters_per_block * n_blocks
-    rate = total_chain_iters / elapsed
-
-    # sanity: sampler is actually mixing (acceptance in a sane band)
-    accept = float(jnp.mean(state.mean_accept_prob))
-    if not (0.05 < accept < 0.95):
-        print(
-            f"WARNING: acceptance rate {accept:.3f} out of range",
-            file=sys.stderr,
+        arwmh_rate = time_kernel(
+            arwmh(es, ARWMHConfig(num_warmup=0)), 4096,
+            warmup_steps=1000, timed_steps=1000, n_blocks=5,
+            accept_field="mean_accept_prob",
+        )
+        asss_rate = time_kernel(
+            asss(es, ASSSConfig(num_warmup=0)), 4096,
+            warmup_steps=500, timed_steps=500,
+        )
+        nuts_rate = time_kernel(
+            nuts(es, NUTSConfig(num_warmup=400)), 1024,
+            warmup_steps=400, timed_steps=100,
+        )
+        asss_dia_rate = time_kernel(
+            asss(diamonds, ASSSConfig(num_warmup=0)), 1024,
+            warmup_steps=300, timed_steps=300,
         )
 
+    extras = [
+        {"metric": "asss_eight_schools_4096chains",
+         "value": round(asss_rate, 1), "unit": "chain_iters_per_sec",
+         "vs_baseline": round(asss_rate / BASE_ASSS_ES, 2)},
+        {"metric": "nuts_eight_schools_1024chains",
+         "value": round(nuts_rate, 1), "unit": "chain_iters_per_sec",
+         "vs_baseline": round(nuts_rate / BASE_NUTS_ES, 2)},
+        {"metric": "asss_diamonds_1024chains",
+         "value": round(asss_dia_rate, 1), "unit": "chain_iters_per_sec",
+         "vs_baseline": round(asss_dia_rate / BASE_ASSS_DIAMONDS, 2)},
+    ]
     print(
         json.dumps(
             {
                 "metric": "arwmh_eight_schools_4096chains",
-                "value": round(rate, 1),
+                "value": round(arwmh_rate, 1),
                 "unit": "chain_iters_per_sec",
-                "vs_baseline": round(rate / BASELINE_ITERS_PER_SEC, 2),
+                "vs_baseline": round(arwmh_rate / BASE_ARWMH_ES, 2),
+                "extras": extras,
             }
         )
     )

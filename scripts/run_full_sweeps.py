@@ -18,11 +18,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import jax
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 # Persistent compile cache: sweep programs are shape-stable across runs, so
 # warm-cache walls reflect the production setting (compiles over the axon
@@ -72,9 +75,10 @@ def summarize(results: dict, out_md: Path):
     lines += [
         "",
         "Notes:",
-        "* exact 1-1 Wasserstein on all 100 seeds (native Hungarian "
-        "solver over a host process pool), Sinkhorn/MMD/RMSE on all "
-        "seeds on-device.",
+        "* exact 1-1 Wasserstein on all 100 seeds via the on-device "
+        "ε-auction (metrics/assignment.py), cross-checked per cell "
+        "against the exact host Hungarian on seed 0; Sinkhorn/MMD/RMSE "
+        "on all seeds on-device.",
         "* gold standard regenerated with the fixed NUTS kernel and "
         "validated against non-circular quadrature truths "
         "(experiments/quadrature.py; scripts/make_gold.py).",

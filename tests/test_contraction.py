@@ -107,3 +107,80 @@ def test_kernel_distance_1d_runs():
     )
     assert jnp.isfinite(rho_d)
     assert float(rho_d) >= 0.0
+
+
+def _ar1_kernel(rho, sigma):
+    """Minimal framework-shaped kernel with analytically known contraction:
+    x' = ρx + σN(0,1) has τ(P) = |ρ| exactly (and τ(P^n) = |ρ|^n), in ANY
+    probe parameterization — W(P(x,·), P(y,·)) = |ρ||x−y|."""
+    import dataclasses
+    from typing import NamedTuple
+
+    import jax
+
+    class S(NamedTuple):
+        i: jax.Array
+        position: jax.Array
+        adapt_state: object
+        rng_key: jax.Array
+
+    def init(rng_key, n_chains, position=None, adapt_state=None):
+        keys = jax.random.split(rng_key, n_chains)
+        return S(jnp.zeros((), jnp.int32), position, adapt_state, keys)
+
+    def step(s):
+        sub, keys = jax.vmap(lambda k: tuple(jax.random.split(k)))(s.rng_key)
+        noise = jax.vmap(lambda k: jax.random.normal(k, s.position.shape[1:]))(sub)
+        return S(s.i + 1, rho * s.position + sigma * noise, s.adapt_state, keys)
+
+    @dataclasses.dataclass(frozen=True)
+    class Cfg:
+        pass
+
+    from adaptive_mcmc_tpu.kernels.base import Kernel
+    return Kernel(name="ar1", target=None, config=Cfg(), init=init, step=step)
+
+
+def test_arctan_taus_analytic_ar1():
+    """The arctan-reparameterized finite-difference estimator
+    (analysis.contraction_curves.taus_finite_difference_arctan) must
+    recover τ(P^n) = ρ^n on the analytic AR(1) family — the ASSS-side
+    analog of the ARWMH AR(1) validation above."""
+    from adaptive_mcmc_tpu.analysis.contraction_curves import (
+        taus_finite_difference_arctan,
+    )
+    from adaptive_mcmc_tpu.kernels.asss import ASSSAdaptState
+
+    rho = 0.8
+    k = _ar1_kernel(rho, sigma=0.5)
+    adapt = ASSSAdaptState(loc=jnp.zeros((1, 1)), scale=jnp.eye(1)[None])
+    xs = jnp.tan(jnp.linspace(-jnp.arctan(2.0), jnp.arctan(2.0), 7))
+    for n in (1, 3):
+        taus = taus_finite_difference_arctan(
+            k, jax.random.PRNGKey(0), xs, adapt,
+            n_steps=n, n_samples=2000,
+        )
+        np.testing.assert_allclose(np.asarray(taus), rho**n, rtol=0.05)
+
+
+def test_asss_arctan_taus_below_one_and_decay():
+    """Frozen well-adapted ASSS on N(0,1): τ(P^n) < 1 and decreasing in n
+    (reference's visual check, asumptions_check cells 84-96)."""
+    from adaptive_mcmc_tpu import asss, models
+    from adaptive_mcmc_tpu.analysis.contraction_curves import (
+        taus_finite_difference_arctan,
+    )
+    from adaptive_mcmc_tpu.kernels.asss import ASSSAdaptState, ASSSConfig
+
+    target = models.std_normal(1)
+    k = asss(target, ASSSConfig(adapt=False))
+    adapt = ASSSAdaptState(loc=jnp.zeros((1, 1)), scale=jnp.eye(1)[None])
+    xs = jnp.tan(jnp.linspace(-jnp.arctan(2.0), jnp.arctan(2.0), 9))
+    t1 = taus_finite_difference_arctan(
+        k, jax.random.PRNGKey(1), xs, adapt, n_steps=1, n_samples=4000
+    )
+    t6 = taus_finite_difference_arctan(
+        k, jax.random.PRNGKey(1), xs, adapt, n_steps=6, n_samples=4000
+    )
+    assert float(jnp.max(t1)) < 1.0
+    assert float(jnp.max(t6)) < float(jnp.max(t1))
