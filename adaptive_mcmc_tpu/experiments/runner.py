@@ -160,8 +160,11 @@ def run_lr_decay(
         kernel = build_kernel(
             kernel_name, target, lr_decay=lr_decay, num_warmup=0
         )
+        # 200k steps/program: keeps the slowest cell (diamonds ASSS,
+        # ~200 us/step at 100 chains) under the device watchdog
         states, _ = collect_states_logscale(
-            kernel, jax.random.PRNGKey(seed0), n_pow=n_pow, n_chains=n_seeds
+            kernel, jax.random.PRNGKey(seed0), n_pow=n_pow,
+            n_chains=n_seeds, max_steps_per_call=200_000,
         )
         base.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(

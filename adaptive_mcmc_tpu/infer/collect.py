@@ -45,29 +45,49 @@ def collect_states_logscale(
     n_chains: int = 1,
     init_position=None,
     jit: bool = True,
+    max_steps_per_call: int | None = None,
 ):
     """Run 10^n_pow iterations collecting the full state pytree on the log
     grid.  Returns a state-pytree whose leaves have a leading axis of
-    len(ns_logscale(n_pow)) (then chains)."""
+    len(ns_logscale(n_pow)) (then chains).
 
-    def _run(rng_key, init_position):
-        state = kernel.init(rng_key, n_chains=n_chains, position=init_position)
-        collections = []
-        for p in range(n_pow + 1):
-            lower = 0 if p < 1 else 10 ** (p - 1)
-            upper = 10**p
-            thin = 10 ** max(0, p - 2)
+    ``max_steps_per_call`` bounds the kernel steps inside one device
+    program: a 10^6-step single execution can run for minutes on slow
+    kernels (diamonds ASSS) and trip the device watchdog (same failure
+    mode documented at parallel/run.py::run_mcmc_sharded).  Segments are
+    re-entered from the host with the state threaded through; the collected
+    grid is identical."""
+    from functools import partial
 
-            def body(s, _):
-                s = lax.fori_loop(0, thin, lambda _, t: kernel.step(t), s)
-                return s, s
+    def _segment(state, thin, length):
+        def body(s, _):
+            s = lax.fori_loop(0, thin, lambda _, t: kernel.step(t), s)
+            return s, s
 
-            state, coll = lax.scan(
-                body, state, None, length=(upper - lower) // thin
-            )
+        return lax.scan(body, state, None, length=length)
+
+    segment = (
+        partial(jax.jit, static_argnames=("thin", "length"))(_segment)
+        if jit
+        else _segment
+    )
+    init = jax.jit(kernel.init, static_argnames=("n_chains",)) if jit else kernel.init
+    state = init(rng_key, n_chains=n_chains, position=init_position)
+    collections = []
+    for p in range(n_pow + 1):
+        lower = 0 if p < 1 else 10 ** (p - 1)
+        upper = 10**p
+        thin = 10 ** max(0, p - 2)
+        total_len = (upper - lower) // thin
+        chunk_len = (
+            total_len
+            if max_steps_per_call is None
+            else max(1, min(total_len, max_steps_per_call // thin))
+        )
+        off = 0
+        while off < total_len:
+            length = min(chunk_len, total_len - off)
+            state, coll = segment(state, thin=thin, length=length)
             collections.append(coll)
-        return concat_trees(collections), state
-
-    if jit:
-        _run = jax.jit(_run)
-    return _run(rng_key, init_position)
+            off += length
+    return concat_trees(collections), state

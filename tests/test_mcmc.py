@@ -156,3 +156,25 @@ def test_determinism_same_seed():
         c, _, _ = run_mcmc(k, jax.random.PRNGKey(8), num_warmup=20,
                            num_samples=50, n_chains=3)
         assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_collect_states_logscale_chunked_matches():
+    """Host-level chunking (max_steps_per_call) must not change the
+    collected trajectory — same step sequence, same RNG path, different
+    program boundaries."""
+    t = models.std_normal(2)
+    k = arwmh(t)
+    a, _ = collect_states_logscale(
+        k, jax.random.PRNGKey(3), n_pow=3, n_chains=4
+    )
+    b, _ = collect_states_logscale(
+        k, jax.random.PRNGKey(3), n_pow=3, n_chains=4,
+        max_steps_per_call=97,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.position), np.asarray(b.position), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.as_change), np.asarray(b.as_change), rtol=1e-5,
+        atol=1e-7,
+    )
