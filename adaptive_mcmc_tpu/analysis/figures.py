@@ -79,6 +79,28 @@ def _arctan_probe_grid(n=50, lim=2.5):
     return jnp.asarray(np.tan(phis))
 
 
+def _target_1d(tname: str):
+    return models.std_normal(1) if tname == "normal" else models.gaussian_mixture_1d()
+
+
+def _exact_1d_samples(tname: str, key, n: int):
+    """Exact draws from the synthetic 1-D targets (normal / 2-component
+    mixture, asumptions_check cells 4, 61)."""
+    if tname == "normal":
+        return jax.random.normal(key, (n,))
+    comp = jax.random.bernoulli(key, 0.5, (n,))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+    return jnp.where(comp, 1.0, -1.0) + 0.1 * eps
+
+
+def _frozen_1d(kname: str, tname: str, loc=0.0, scale=1.0):
+    """Frozen-adapt kernel for the synthetic studies.  kname: rwm | sss."""
+    target = _target_1d(tname)
+    if kname == "rwm":
+        return _frozen_arwmh(target, loc=loc, scale=1.0, step=scale)
+    return _frozen_asss(target, loc=loc, scale=scale)
+
+
 def fig_sss_x_contraction(out_dir: Path, n_samples=100_000):
     """Per-probe τ_x(P^n) curves for the frozen ASSS kernel on the 1-D
     mixture — asumptions_check.ipynb cells 84-87
@@ -159,7 +181,8 @@ def fig_sss_kernel_distance(out_dir: Path):
     ax.semilogx(sigmas, rhos, "o-")
     ax.set_xlabel(r"adapt-state scale $\sigma$")
     ax.set_ylabel(r"$\rho(P_\sigma, P_1)$ (ASSS)")
-    fig.savefig(out_dir / "sss-kernel-distance.svg", bbox_inches="tight")
+    fig.savefig(out_dir / "sss-normal-kernel-dist-scale.svg",
+                bbox_inches="tight")
     plt.close(fig)
 
 
@@ -297,7 +320,8 @@ def fig_kernel_distance(out_dir: Path):
     ax.semilogx(sigmas, rhos, "o-")
     ax.set_xlabel(r"proposal scale $\sigma$")
     ax.set_ylabel(r"$\rho(P_\sigma, P_1)$")
-    fig.savefig(out_dir / "kernel-distance.svg", bbox_inches="tight")
+    fig.savefig(out_dir / "rwm-normal-kernel-dist-scale.svg",
+                bbox_inches="tight")
     plt.close(fig)
 
 
@@ -320,6 +344,301 @@ def fig_adaptation_drift(out_dir: Path, n_pow=4):
     plt.close(fig)
 
 
+def fig_x_step(out_dir: Path, n_samples=50_000):
+    """E[x_next] + 50%/90% CI bands of P^n(x, ·) over a probe grid — the
+    per-n step-distribution family (asumptions_check cells 16-25;
+    {rwm,sss}-{normal,mixture}-x-step-*.svg)."""
+    from adaptive_mcmc_tpu.infer.mcmc import sample_pnx
+
+    xs = jnp.linspace(-5, 5, 100)
+    cases = [
+        ("rwm", [None], (1, 2, 5, 10, 20, 50)),
+        ("sss", [0.0, 1.0], (1, 2, 5)),
+    ]
+    for tname in ("normal", "mixture"):
+        for kname, locs, ns in cases:
+            for loc in locs:
+                k, adapt = _frozen_1d(kname, tname, loc=loc or 0.0)
+                for n in ns:
+                    Px = sample_pnx(
+                        k, jax.random.PRNGKey(0), xs[:, None], adapt,
+                        n=int(n), n_samples=n_samples,
+                    )[:, :, 0]
+                    mean = np.asarray(jnp.mean(Px, axis=1))
+                    q = np.asarray(
+                        jnp.quantile(
+                            Px, jnp.array([0.05, 0.25, 0.75, 0.95]), axis=1
+                        )
+                    )
+                    fig, ax = plt.subplots(figsize=(5, 5))
+                    mtag = "" if loc is None else rf"\mu={loc:g}, "
+                    ax.set_title(rf"${mtag}\sigma=1, n={n}$")
+                    ax.plot(np.asarray(xs), mean, color="blue",
+                            label="$E[x_{next}]$")
+                    ax.fill_between(np.asarray(xs), q[1], q[2], alpha=0.5,
+                                    color="blue", label="50% CI")
+                    ax.fill_between(np.asarray(xs), q[0], q[3], alpha=0.3,
+                                    color="blue", label="90% CI")
+                    ax.plot(np.asarray(xs), np.asarray(xs), "--",
+                            color="gray", label=r"$x = x_{next}$")
+                    ax.set_xlabel("$x$")
+                    ax.legend(loc="upper left")
+                    stem = (
+                        f"{kname}-{tname}-x-step-s1-n{n}"
+                        if loc is None
+                        else f"{kname}-{tname}-x-step-m{int(loc)}-s1-n{n}"
+                    )
+                    fig.savefig(out_dir / f"{stem}.svg", bbox_inches="tight")
+                    plt.close(fig)
+
+
+def fig_x_wasserstein(out_dir: Path, n_samples=50_000):
+    """W_1(P(x,·), π) vs x per adapt-state scale, with the eccentricity
+    E|π − x| guide (asumptions_check cells 19-21;
+    *-x-wasserstein*.svg)."""
+    from adaptive_mcmc_tpu.infer.mcmc import sample_pnx
+    from adaptive_mcmc_tpu.metrics.sliced import wasserstein_1d
+
+    xs = jnp.linspace(-5, 5, 100)
+    for tname in ("normal", "mixture"):
+        pi = _exact_1d_samples(tname, jax.random.PRNGKey(42), n_samples)
+        ecc = np.asarray(
+            jnp.mean(jnp.abs(pi[None, :] - xs[:, None]), axis=1)
+        )
+        for kname, locs in (("rwm", [None]), ("sss", [0.0, 1.0])):
+            for loc in locs:
+                fig, ax = plt.subplots(figsize=(6, 4))
+                ax.plot(np.asarray(xs), ecc, "--", color="gray",
+                        label="eccentricity")
+                for sigma, color in ((0.1, "orange"), (1.0, "blue"),
+                                     (10.0, "red")):
+                    k, adapt = _frozen_1d(
+                        kname, tname, loc=loc or 0.0, scale=sigma
+                    )
+                    Px = sample_pnx(
+                        k, jax.random.PRNGKey(0), xs[:, None], adapt,
+                        n=1, n_samples=n_samples,
+                    )[:, :, 0]
+                    w = np.asarray(wasserstein_1d(Px, pi))
+                    mtag = "" if loc is None else rf"\mu={loc:g}, "
+                    ax.plot(np.asarray(xs), w, color=color,
+                            label=rf"${mtag}\sigma = {sigma:g}$")
+                ax.set_xlabel("$x$")
+                ax.set_ylabel(r"$\mathcal{W}(\delta_x P_{\mu,\sigma}, \pi)$")
+                ax.legend(loc="center right")
+                stem = (
+                    f"{kname}-{tname}-x-wasserstein"
+                    if loc is None
+                    else f"{kname}-{tname}-x-wasserstein-m{int(loc)}"
+                )
+                fig.savefig(out_dir / f"{stem}.svg", bbox_inches="tight")
+                plt.close(fig)
+
+
+def fig_x_contraction(out_dir: Path, n_samples=50_000):
+    """Per-probe τ_x(P^n) curves for every (kernel, target, loc) cell of
+    the reference (cells 30-36 RWM, 81-87 SSS; *-x-contraction*.svg).
+    The SSS mixture pair is produced by fig_sss_x_contraction."""
+    from adaptive_mcmc_tpu.analysis.contraction_curves import (
+        taus_finite_difference,
+    )
+
+    cases = [
+        ("rwm", "normal", None, (1, 2, 5)),
+        ("rwm", "mixture", None, (1, 2, 5)),
+        ("sss", "normal", 0.0, (1, 2)),
+        ("sss", "normal", 1.0, (1, 5, 10)),
+    ]
+    for kname, tname, loc, ns in cases:
+        xs = (
+            jnp.linspace(-2.5, 2.5, 50)
+            if kname == "rwm"
+            else _arctan_probe_grid(50)
+        )
+        k, adapt = _frozen_1d(kname, tname, loc=loc or 0.0)
+        taus_fn = (
+            taus_finite_difference
+            if kname == "rwm"
+            else taus_finite_difference_arctan
+        )
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for i, n in enumerate(ns):
+            taus = taus_fn(
+                k, jax.random.fold_in(jax.random.PRNGKey(0), i), xs, adapt,
+                n_steps=int(n), n_samples=n_samples,
+            )
+            ax.plot(np.asarray(xs), np.asarray(taus), label=f"$n$ = {n}")
+        mtag = "" if loc is None else rf"$\mu = {loc:g}, \sigma = 1$"
+        if mtag:
+            ax.set_title(mtag)
+        ax.set_xlabel("$x$")
+        ax.set_ylabel(r"contraction estimate $\tau_x(P^n)$")
+        ax.legend(loc="upper right")
+        stem = (
+            f"{kname}-{tname}-x-contraction"
+            if loc is None
+            else f"{kname}-{tname}-x-contraction-m{int(loc)}"
+        )
+        fig.savefig(out_dir / f"{stem}.svg", bbox_inches="tight")
+        plt.close(fig)
+
+
+def fig_contraction_decrease(out_dir: Path, n_samples=30_000):
+    """max_x τ(P^n) decay per adapt scale for the remaining cells
+    (rwm-{normal,mixture} and sss-normal m0/m1; the sss-mixture pair is
+    fig_sss_contraction_decay)."""
+    from adaptive_mcmc_tpu.analysis.contraction_curves import (
+        taus_finite_difference,
+    )
+
+    cases = [
+        ("rwm", "normal", None),
+        ("rwm", "mixture", None),
+        ("sss", "normal", 0.0),
+        ("sss", "normal", 1.0),
+    ]
+    for kname, tname, loc in cases:
+        xs = (
+            jnp.linspace(-2.5, 2.5, 24)
+            if kname == "rwm"
+            else _arctan_probe_grid(24)
+        )
+        ns = (1, 2, 3, 4, 5) if kname == "rwm" else (1, 5, 10, 20)
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for sigma, color in ((0.1, "orange"), (1.0, "blue"), (10.0, "red")):
+            k, adapt = _frozen_1d(kname, tname, loc=loc or 0.0, scale=sigma)
+            kw = {}
+            if kname == "sss":
+                kw["taus_fn"] = taus_finite_difference_arctan
+            else:
+                kw["taus_fn"] = taus_finite_difference
+            taus = contraction_decay_curve(
+                k, jax.random.PRNGKey(0), xs, adapt, ns=ns,
+                n_samples=n_samples, **kw,
+            )
+            mtag = rf"\mu={loc:g}, " if loc is not None else ""
+            ax.plot(ns, np.asarray(taus), ".-", color=color,
+                    label=rf"${mtag}\sigma = {sigma:g}$")
+        ax.axhline(1.0, ls="--", color="gray")
+        ax.set_xticks(ns)
+        ax.set_xlabel("power $n$")
+        ax.set_ylabel(r"contraction estimate $\tau(P_{\mu,\sigma}^n)$")
+        ax.legend(loc="upper right")
+        stem = (
+            f"{kname}-{tname}-contraction-decrease"
+            if loc is None
+            else f"{kname}-{tname}-contraction-decrease-m{int(loc)}"
+        )
+        fig.savefig(out_dir / f"{stem}.svg", bbox_inches="tight")
+        plt.close(fig)
+
+
+def fig_kernel_dist_families(out_dir: Path):
+    """Lipschitz-NN kernel-distance curves vs adapt-state perturbation:
+    ρ(P_σ, P_1) for RWM and SSS (scale, at loc 0 and 1) and ρ(P_μ, P_0)
+    for SSS (loc) — asumptions_check cells 100-110."""
+    x = jnp.linspace(-2, 2, 12)
+
+    def rho_curve(kname, tname, base_kwargs, comp_kwargs_list):
+        kb, ab = _frozen_1d(kname, tname, **base_kwargs)
+        rhos = []
+        for ckw in comp_kwargs_list:
+            kc, ac = _frozen_1d(kname, tname, **ckw)
+            rho, _, _ = compute_kernel_distance_1d(
+                make_sample_px(kc, ac), make_sample_px(kb, ab),
+                jax.random.PRNGKey(0), x,
+                sample_batch_size=2000, n_eval_batches=16, max_steps=40,
+            )
+            rhos.append(float(rho))
+        return rhos
+
+    scales = np.array([0.25, 0.5, 1.0, 2.0, 4.0])
+    # SSS scale at loc=1 (sss-normal-kernel-dist-scale-m1.svg)
+    rhos = rho_curve(
+        "sss", "normal", dict(loc=1.0, scale=1.0),
+        [dict(loc=1.0, scale=float(s)) for s in scales],
+    )
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogx(scales, rhos, ".-")
+    ax.set_title(r"$\mu=1$")
+    ax.set_xlabel(r"scale $\sigma$, logarithmic")
+    ax.set_ylabel(r"kernel distance estimate $\rho(P_{1,\sigma}, P_{1,1})$")
+    fig.savefig(out_dir / "sss-normal-kernel-dist-scale-m1.svg",
+                bbox_inches="tight")
+    plt.close(fig)
+
+    # SSS loc at sigma=1 (sss-normal-kernel-dist-loc.svg)
+    locs = np.linspace(0.0, 2.0, 9)
+    rhos = rho_curve(
+        "sss", "normal", dict(loc=0.0, scale=1.0),
+        [dict(loc=float(m), scale=1.0) for m in locs],
+    )
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(locs, rhos, ".-")
+    ax.set_title(r"$\sigma=1$")
+    ax.set_xlabel(r"location $\mu$")
+    ax.set_ylabel(r"kernel distance estimate $\rho(P_{\mu,1}, P_{0,1})$")
+    fig.savefig(out_dir / "sss-normal-kernel-dist-loc.svg",
+                bbox_inches="tight")
+    plt.close(fig)
+
+
+def fig_contraction_dual(out_dir: Path):
+    """f(x) and Pf(x) panels across Lipschitz-NN training-step budgets
+    {0, 5, 10, 100} — the estimator-convergence visualization
+    (asumptions_check cells 97-98, *-contraction-dual*.svg)."""
+    from adaptive_mcmc_tpu.contraction import (
+        apply_lipschitz_mlp,
+        compute_wasserstein_contraction,
+    )
+
+    steps = (0, 5, 10, 100)
+    xs = jnp.linspace(-2.5, 2.5, 100)
+    X = xs[:, None]
+    cases = [
+        ("rwm", "normal", None),
+        ("rwm", "mixture", None),
+        ("sss", "normal", 0.0),
+        ("sss", "normal", 1.0),
+        ("sss", "mixture", 0.0),
+        ("sss", "mixture", 1.0),
+    ]
+    for kname, tname, loc in cases:
+        k, adapt = _frozen_1d(kname, tname, loc=loc or 0.0)
+        sample_px = make_sample_px(k, adapt)
+        fig, (ax1, ax2) = plt.subplots(
+            1, 2, figsize=(12.8, 4.8), sharey=True
+        )
+        colors = ["royalblue", "blue", "mediumblue", "midnightblue"]
+        for step, color in zip(steps, colors):
+            _, _, params = compute_wasserstein_contraction(
+                sample_px, jax.random.PRNGKey(0), X,
+                sample_batch_size=1000, n_train_batches=8,
+                n_eval_batches=1, max_steps=step,
+            )
+            fx = np.asarray(apply_lipschitz_mlp(params, X))
+            samp = sample_px(jax.random.PRNGKey(1), X, 20_000)
+            Pfx = np.asarray(
+                jnp.mean(apply_lipschitz_mlp(params, samp), axis=1)
+            )
+            ax1.plot(np.asarray(xs), fx, color=color, label=f"steps={step}")
+            ax2.plot(np.asarray(xs), Pfx, color=color, label=f"steps={step}")
+        if loc is not None:
+            fig.suptitle(rf"$\mu={loc:g}, \sigma=1$")
+        ax1.set_ylabel("f(x)")
+        ax2.set_ylabel("Pf(x)")
+        ax1.set_xlabel("x")
+        ax2.set_xlabel("x")
+        ax1.legend(loc="lower right")
+        stem = (
+            f"{kname}-{tname}-contraction-dual"
+            if loc is None
+            else f"{kname}-{tname}-contraction-dual-m{int(loc)}"
+        )
+        fig.savefig(out_dir / f"{stem}.svg", bbox_inches="tight")
+        plt.close(fig)
+
+
 ALL_FIGURES = {
     "invariance": fig_invariance,
     "accept_rate": fig_accept_rate,
@@ -330,6 +649,12 @@ ALL_FIGURES = {
     "sss_x_contraction": fig_sss_x_contraction,
     "sss_contraction": fig_sss_contraction_decay,
     "sss_kernel_distance": fig_sss_kernel_distance,
+    "x_step": fig_x_step,
+    "x_wasserstein": fig_x_wasserstein,
+    "x_contraction": fig_x_contraction,
+    "contraction_decrease": fig_contraction_decrease,
+    "kernel_dist_families": fig_kernel_dist_families,
+    "contraction_dual": fig_contraction_dual,
 }
 
 
