@@ -229,9 +229,11 @@ def evaluate_run(
         n_draws = min(samples.shape[1], reference.shape[0])
         y_dev = jnp.asarray(reference[:n_draws])
         wass = []
+        prices = None  # warm-start duals: same reference set every seed
         for s in range(k):
-            w = wasserstein_dist11_p(
-                jnp.asarray(samples[s, :n_draws]), y_dev, solver="auction"
+            w, prices = wasserstein_dist11_p(
+                jnp.asarray(samples[s, :n_draws]), y_dev, solver="auction",
+                prices_init=prices, return_prices=True,
             )
             if s < hungarian_check_seeds:
                 w_exact = _wasserstein_worker(

@@ -42,16 +42,25 @@ def wasserstein_dist11_p(
     v_values,
     ord: float = 2.0,
     solver: str = "auto",
-) -> float:
+    prices_init=None,
+    return_prices: bool = False,
+):
     """Mean distance under the optimal 1-1 coupling between two equal-size
     sample sets (reference wasserstein_dist11_p).  ``solver``: "auto" |
     "native" | "scipy" (exact, host) or "auction" (ε-approximate, device).
-    """
+
+    For the auction solver, ``prices_init``/``return_prices`` expose the
+    column duals so sweeps over many sample sets vs one fixed reference
+    set can warm-start consecutive solves (see auction_assignment)."""
     cost = minkowski_cost_matrix(u_values, v_values, ord=ord)
     n = cost.shape[0]
     if solver == "auction":
-        col = auction_assignment(cost)
-        return float(jnp.mean(cost[jnp.arange(n), col]))
+        out = auction_assignment(
+            cost, prices_init=prices_init, return_prices=return_prices
+        )
+        col, prices = out if return_prices else (out, None)
+        w = float(jnp.mean(cost[jnp.arange(n), col]))
+        return (w, prices) if return_prices else w
     cost_np = np.asarray(cost)
     col = linear_sum_assignment(cost_np, solver=solver)
     return float(cost_np[np.arange(n), col].mean())

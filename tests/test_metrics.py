@@ -140,3 +140,26 @@ def test_sinkhorn_approximates_exact_w1():
     exact = wasserstein_dist11_p(x, y)
     sk = wasserstein_sinkhorn(x, y, epsilon=5e-3, max_iters=5000)
     assert abs(sk - exact) < 0.12 * exact, (sk, exact)
+
+def test_auction_warm_start_matches_exact():
+    """Warm-started auction (prices carried across sample sets vs one
+    fixed reference set — the sweep-eval pattern) must stay within the
+    same optimality band as a cold solve."""
+    from adaptive_mcmc_tpu.metrics.wasserstein import wasserstein_dist11_p
+
+    rng = np.random.default_rng(7)
+    ref = rng.standard_normal((400, 5)).astype(np.float32)
+    prices = None
+    for seed in range(3):
+        u = rng.standard_normal((400, 5)).astype(np.float32)
+        w, prices = wasserstein_dist11_p(
+            jnp.asarray(u), jnp.asarray(ref), solver="auction",
+            prices_init=prices, return_prices=True,
+        )
+        cost = scipy.spatial.distance_matrix(u, ref)
+        r, c = scipy.optimize.linear_sum_assignment(cost)
+        w_exact = cost[r, c].mean()
+        assert abs(w - w_exact) <= 2e-3 * max(1.0, w_exact), (
+            seed, w, w_exact
+        )
+    assert prices is not None and prices.shape == (400,)
