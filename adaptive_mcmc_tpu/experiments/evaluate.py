@@ -177,6 +177,7 @@ def evaluate_run(
     n_workers: Optional[int] = None,
     exact_wasserstein_seeds: Optional[int] = None,
     exact_w_solver: str = "auction",
+    exact_w_batch: int = 1,
     hungarian_check_seeds: int = 1,
     sinkhorn: bool = True,
     verbose: bool = False,
@@ -226,28 +227,70 @@ def evaluate_run(
         S, exact_wasserstein_seeds
     )
     if exact_w_solver == "auction":
+        from adaptive_mcmc_tpu.metrics.assignment import (
+            auction_assignment_batch,
+        )
+        from adaptive_mcmc_tpu.metrics.wasserstein import (
+            minkowski_cost_matrix,
+        )
+
         n_draws = min(samples.shape[1], reference.shape[0])
         y_dev = jnp.asarray(reference[:n_draws])
+        rows = jnp.arange(n_draws)
         wass = []
-        prices = None  # warm-start duals: same reference set every seed
-        for s in range(k):
-            w, prices = wasserstein_dist11_p(
-                jnp.asarray(samples[s, :n_draws]), y_dev, solver="auction",
-                prices_init=prices, return_prices=True,
-            )
-            if s < hungarian_check_seeds:
-                w_exact = _wasserstein_worker(
-                    (np.asarray(samples[s], np.float64),
-                     np.asarray(reference, np.float64))
+        B = max(1, int(exact_w_batch))
+        if B == 1:
+            prices = None  # warm-start duals: same reference set per seed
+            for s in range(k):
+                w, prices = wasserstein_dist11_p(
+                    jnp.asarray(samples[s, :n_draws]), y_dev,
+                    solver="auction", prices_init=prices,
+                    return_prices=True,
                 )
-                if abs(w - w_exact) > 2e-3 * max(1.0, abs(w_exact)):
-                    raise AssertionError(
-                        f"auction W {w:.6f} disagrees with exact Hungarian "
-                        f"{w_exact:.6f} on seed {s}"
+                if s < hungarian_check_seeds:
+                    w_exact = _wasserstein_worker(
+                        (np.asarray(samples[s], np.float64),
+                         np.asarray(reference, np.float64))
                     )
-            wass.append(float(w))
-            if verbose and (s + 1) % 20 == 0:
-                print(f"  [wasserstein] seed {s+1}/{k}", flush=True)
+                    if abs(w - w_exact) > 2e-3 * max(1.0, abs(w_exact)):
+                        raise AssertionError(
+                            f"auction W {w:.6f} disagrees with exact "
+                            f"Hungarian {w_exact:.6f} on seed {s}"
+                        )
+                wass.append(float(w))
+                if verbose and (s + 1) % 20 == 0:
+                    print(f"  [wasserstein] seed {s+1}/{k}", flush=True)
+        else:
+            for s0 in range(0, k, B):
+                idx = list(range(s0, min(s0 + B, k)))
+                costs = jnp.stack([
+                    minkowski_cost_matrix(
+                        jnp.asarray(samples[s, :n_draws]), y_dev
+                    )
+                    for s in idx
+                ])
+                cols = auction_assignment_batch(costs)
+                ws = [
+                    float(jnp.mean(costs[i, rows, cols[i]]))
+                    for i in range(len(idx))
+                ]
+                for i, s in enumerate(idx):
+                    if s < hungarian_check_seeds:
+                        w_exact = _wasserstein_worker(
+                            (np.asarray(samples[s], np.float64),
+                             np.asarray(reference, np.float64))
+                        )
+                        if abs(ws[i] - w_exact) > 2e-3 * max(
+                            1.0, abs(w_exact)
+                        ):
+                            raise AssertionError(
+                                f"auction W {ws[i]:.6f} disagrees with "
+                                f"exact Hungarian {w_exact:.6f} on seed {s}"
+                            )
+                wass.extend(ws)
+                if verbose:
+                    print(f"  [wasserstein] seed {len(wass)}/{k}",
+                          flush=True)
     else:
         y_np = np.asarray(reference, np.float64)
         jobs = [(np.asarray(samples[s], np.float64), y_np) for s in range(k)]

@@ -113,18 +113,24 @@ def _auction_chunk(benefit, prices, col_owner, row_to_col, eps, max_rounds,
     dense variant); callers re-enter with the carried state instead."""
     n, m = benefit.shape
     cols = jnp.arange(m, dtype=jnp.int32)
-    brange = jnp.arange(block)
+    rows = jnp.arange(n, dtype=jnp.int32)
 
     def cond(val):
         _, _, row_to_col, it = val
         return jnp.any(row_to_col < 0) & (it < max_rounds)
 
     def body(val):
+        # SCATTER-FREE round: every per-column/per-row combine is a dense
+        # masked reduction over a (block, ·) slice.  TPU lowers scatters
+        # to serialized per-update loops (and vmapped scatters serialize
+        # per lane), which made scatter-based rounds latency-bound at
+        # ~1k updates/round; the dense masks are plain VPU work at the
+        # same O(block·m) traffic as the bid gather itself.
         prices, col_owner, row_to_col, it = val
         unassigned = row_to_col < 0                      # (n,)
         idx = jnp.nonzero(unassigned, size=block, fill_value=n)[0].astype(
             jnp.int32
-        )                                                # (block,)
+        )                                                # (block,) ascending
         valid = idx < n
         # padded lanes gather 0-benefit rows; their bids are masked below
         vals = (
@@ -133,30 +139,38 @@ def _auction_chunk(benefit, prices, col_owner, row_to_col, eps, max_rounds,
         )                                                # (block, m)
         v1 = jnp.max(vals, axis=-1)
         j1 = jnp.argmax(vals, axis=-1).astype(jnp.int32)
-        v2 = jnp.max(vals.at[brange, j1].set(-jnp.inf), axis=-1)
+        masked = jnp.where(cols[None, :] == j1[:, None], -jnp.inf, vals)
+        v2 = jnp.max(masked, axis=-1)
         bid = prices[j1] + (v1 - v2) + eps
         bid = jnp.where(valid, bid, -jnp.inf)
-        # best bid per column via scatter-max
-        win_bid = jnp.full((m,), -jnp.inf).at[j1].max(bid)
+        # best bid per column: dense masked column-max over the block
+        hit = cols[None, :] == j1[:, None]               # (block, m)
+        bids_m = jnp.where(hit, bid[:, None], -jnp.inf)
+        win_bid = jnp.max(bids_m, axis=0)                # (m,)
         got_bid = jnp.isfinite(win_bid)
-        # deterministic winner among tied top bidders: lowest row index
-        is_win = valid & (bid >= win_bid[j1])
-        win_row = (
-            jnp.full((m,), n, jnp.int32)
-            .at[jnp.where(is_win, j1, m)]
-            .min(idx, mode="drop")
+        # winner among tied top bidders: first block position (= lowest
+        # row index, idx is ascending) reaching the column max
+        first = jnp.argmax(bids_m >= win_bid[None, :], axis=0)  # (m,)
+        win_row = jnp.where(got_bid, idx[first], n)      # (m,)
+        # displace previous owners of re-auctioned columns (gather, not
+        # scatter: a row is displaced iff its column got a new owner)
+        j_safe = jnp.where(row_to_col >= 0, row_to_col, 0)
+        displaced = (
+            (row_to_col >= 0)
+            & got_bid[j_safe]
+            & (win_row[j_safe] != rows)
         )
-        # displace previous owners of re-auctioned columns
-        prev_owner = jnp.where(got_bid, col_owner, -1)
-        row_to_col = row_to_col.at[
-            jnp.where(prev_owner >= 0, prev_owner, n)
-        ].set(-1, mode="drop")
-        # install winners
+        row_to_col = jnp.where(displaced, -1, row_to_col)
+        # install winners densely: block lane b won column j1[b] iff the
+        # column chose it back
+        won = valid & (win_row.at[j1].get(mode="fill", fill_value=n) == idx)
+        hit_row = won[:, None] & (idx[:, None] == rows[None, :])  # (block,n)
+        new_col = jnp.max(
+            jnp.where(hit_row, j1[:, None], -1), axis=0
+        )                                                # (n,)
+        row_to_col = jnp.where(new_col >= 0, new_col, row_to_col)
         col_owner = jnp.where(got_bid, win_row, col_owner)
         prices = jnp.where(got_bid, win_bid, prices)
-        row_to_col = row_to_col.at[
-            jnp.where(got_bid, win_row, n)
-        ].set(cols, mode="drop")
         return prices, col_owner, row_to_col, it + 1
 
     init = (prices, col_owner, row_to_col, jnp.int32(0))
@@ -167,7 +181,7 @@ def _auction_chunk(benefit, prices, col_owner, row_to_col, eps, max_rounds,
 def auction_assignment(
     cost: jax.Array,
     eps_final: Optional[float] = None,
-    scaling_factor: float = 5.0,
+    scaling_factor: float = 10.0,
     max_rounds: int = 400_000,
     block: int = 1024,
     rounds_per_call: int = 8_192,
@@ -206,18 +220,109 @@ def auction_assignment(
     else:
         eps = eps_final * scaling_factor
         prices = jnp.asarray(prices_init, jnp.float32)
+    # Endgame: the last few unassigned rows fight bidding wars whose
+    # length scales like (value gap)/ε — thousands of rounds at small ε.
+    # A full-width round pays O(block·m) for what is then a handful of
+    # live lanes (measured: >80% of a cold n=10k solve spent in rounds
+    # with ≤4 unassigned rows).  Once the pool fits, switch to a narrow
+    # block so war rounds cost ~µs instead of ~ms.
+    block_small = max(32, min(block // 8, 128))
     while True:
         col_owner = jnp.full((m,), -1, jnp.int32)
         row_to_col = jnp.full((n,), -1, jnp.int32)
         spent = 0
         while spent < max_rounds:
-            prices, col_owner, row_to_col = _auction_chunk(
-                benefit, prices, col_owner, row_to_col, eps,
-                rounds_per_call, block,
-            )
-            spent += rounds_per_call
-            if not bool(jnp.any(row_to_col < 0)):
+            left = int(jnp.sum(row_to_col < 0))
+            if left == 0:
                 break
+            if left > block_small:
+                rounds = max(512, min(rounds_per_call, 8 * n // block))
+                prices, col_owner, row_to_col = _auction_chunk(
+                    benefit, prices, col_owner, row_to_col, eps,
+                    rounds, block,
+                )
+            else:
+                rounds = rounds_per_call
+                prices, col_owner, row_to_col = _auction_chunk(
+                    benefit, prices, col_owner, row_to_col, eps,
+                    rounds, block_small,
+                )
+            spent += rounds
         if eps <= eps_final:
             return (row_to_col, prices) if return_prices else row_to_col
+        eps = max(eps / scaling_factor, eps_final)
+
+
+@partial(jax.jit, static_argnames=("max_rounds", "block"))
+def _auction_chunk_batch(benefit, prices, col_owner, row_to_col, eps,
+                         max_rounds, block):
+    return jax.vmap(
+        lambda be, pr, co, rc: _auction_chunk(
+            be, pr, co, rc, eps, max_rounds, block
+        )
+    )(benefit, prices, col_owner, row_to_col)
+
+
+def auction_assignment_batch(
+    costs: jax.Array,
+    eps_final: Optional[float] = None,
+    scaling_factor: float = 10.0,
+    max_rounds: int = 400_000,
+    block: int = 1024,
+    rounds_per_call: Optional[int] = None,
+) -> jax.Array:
+    """ε-scaled auction over a BATCH of instances that share one ε
+    schedule.  costs: (B, n, m).  Returns row->col (B, n).
+
+    The sweep evals solve ~100 statistically identical instances (one
+    per seed, all against the same reference set).  Solving them one at
+    a time leaves the chip latency-bound: each auction round is a
+    handful of gather/scatter ops over (block, m) slices whose fixed op
+    overhead — not bandwidth — dominates at n=10k.  vmapping the round
+    over B instances amortizes that overhead B ways; instances run the
+    round loop in lockstep (a lane that finishes early no-ops until the
+    slowest lane's ε level drains), which costs little because the
+    instances are near-identical and need near-identical round counts.
+
+    ε_final uses the max cost range over the batch, so every instance
+    gets at least the single-instance optimality bound."""
+    costs = jnp.asarray(costs, jnp.float32)
+    b, n, m = costs.shape
+    if rounds_per_call is None:
+        # keep each device program inside the same total-work envelope as
+        # the proven single-instance config (8192 rounds × 1024×m slices):
+        # longer programs have tripped the remote worker's watchdog
+        rounds_per_call = max(256, (8_192 * 1_024) // (b * block))
+    benefit = -costs
+    rng = float(jnp.max(costs) - jnp.min(costs))
+    if eps_final is None:
+        eps_final = max(rng, 1e-6) / (2.0 * n)
+    eps = max(rng / 2.0, eps_final)
+    prices = jnp.zeros((b, m))
+    block_small = max(32, min(block // 8, 128))
+    while True:
+        col_owner = jnp.full((b, m), -1, jnp.int32)
+        row_to_col = jnp.full((b, n), -1, jnp.int32)
+        spent = 0
+        while spent < max_rounds:
+            # lanes run rounds in lockstep, so the widest lane picks the
+            # block size (see auction_assignment for the endgame logic)
+            left = int(jnp.max(jnp.sum(row_to_col < 0, axis=1)))
+            if left == 0:
+                break
+            if left > block_small:
+                rounds = max(512, min(rounds_per_call, 8 * n // block))
+                prices, col_owner, row_to_col = _auction_chunk_batch(
+                    benefit, prices, col_owner, row_to_col,
+                    jnp.float32(eps), rounds, block,
+                )
+            else:
+                rounds = rounds_per_call
+                prices, col_owner, row_to_col = _auction_chunk_batch(
+                    benefit, prices, col_owner, row_to_col,
+                    jnp.float32(eps), rounds, block_small,
+                )
+            spent += rounds
+        if eps <= eps_final:
+            return row_to_col
         eps = max(eps / scaling_factor, eps_final)

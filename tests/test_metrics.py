@@ -163,3 +163,23 @@ def test_auction_warm_start_matches_exact():
             seed, w, w_exact
         )
     assert prices is not None and prices.shape == (400,)
+
+def test_auction_batch_matches_exact():
+    from adaptive_mcmc_tpu.metrics.assignment import auction_assignment_batch
+    from adaptive_mcmc_tpu.metrics.wasserstein import minkowski_cost_matrix
+
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((300, 4)).astype(np.float32)
+    us = rng.standard_normal((3, 300, 4)).astype(np.float32)
+    costs = jnp.stack([
+        minkowski_cost_matrix(jnp.asarray(u), jnp.asarray(ref)) for u in us
+    ])
+    cols = np.asarray(auction_assignment_batch(costs, block=64,
+                                               rounds_per_call=512))
+    for i in range(3):
+        assert sorted(cols[i].tolist()) == list(range(300))
+        cost = np.asarray(costs[i], np.float64)
+        r, c = scipy.optimize.linear_sum_assignment(cost)
+        w_exact = cost[r, c].mean()
+        w = cost[np.arange(300), cols[i]].mean()
+        assert abs(w - w_exact) <= 2e-3 * max(1.0, w_exact), (i, w, w_exact)
