@@ -239,6 +239,15 @@ def evaluate_run(
         rows = jnp.arange(n_draws)
         wass = []
         B = max(1, int(exact_w_batch))
+
+        def _check_tol(w_exact: float, pts: np.ndarray) -> float:
+            # comparison noise + the auction's certified bound: mean
+            # assigned cost is within eps_final = range/(2·n) of optimal,
+            # which dominates at small n (tests) and vanishes at n=10k
+            span = float(np.linalg.norm(
+                np.max(pts, axis=0) - np.min(pts, axis=0)
+            ))
+            return 2e-3 * max(1.0, abs(w_exact)) + span / (2.0 * n_draws)
         if B == 1:
             prices = None  # warm-start duals: same reference set per seed
             for s in range(k):
@@ -252,7 +261,11 @@ def evaluate_run(
                         (np.asarray(samples[s], np.float64),
                          np.asarray(reference, np.float64))
                     )
-                    if abs(w - w_exact) > 2e-3 * max(1.0, abs(w_exact)):
+                    pts = np.concatenate(
+                        [samples[s, :n_draws],
+                         np.asarray(reference[:n_draws])]
+                    )
+                    if abs(w - w_exact) > _check_tol(w_exact, pts):
                         raise AssertionError(
                             f"auction W {w:.6f} disagrees with exact "
                             f"Hungarian {w_exact:.6f} on seed {s}"
@@ -280,9 +293,11 @@ def evaluate_run(
                             (np.asarray(samples[s], np.float64),
                              np.asarray(reference, np.float64))
                         )
-                        if abs(ws[i] - w_exact) > 2e-3 * max(
-                            1.0, abs(w_exact)
-                        ):
+                        pts = np.concatenate(
+                            [samples[s, :n_draws],
+                             np.asarray(reference[:n_draws])]
+                        )
+                        if abs(ws[i] - w_exact) > _check_tol(w_exact, pts):
                             raise AssertionError(
                                 f"auction W {ws[i]:.6f} disagrees with "
                                 f"exact Hungarian {w_exact:.6f} on seed {s}"
