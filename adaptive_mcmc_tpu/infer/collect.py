@@ -59,9 +59,14 @@ def collect_states_logscale(
     grid is identical."""
     from functools import partial
 
+    step_n = getattr(kernel, "step_n", None)
+
     def _segment(state, thin, length):
         def body(s, _):
-            s = lax.fori_loop(0, thin, lambda _, t: kernel.step(t), s)
+            if step_n is not None:
+                s = step_n(s, thin)
+            else:
+                s = lax.fori_loop(0, thin, lambda _, t: kernel.step(t), s)
             return s, s
 
         return lax.scan(body, state, None, length=length)

@@ -231,10 +231,151 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
             rng_key=keys,
         )
 
+    def step_n(state: ASSSState, n_steps: int) -> ASSSState:
+        """Advance every chain by exactly ``n_steps`` transitions with the
+        shrinkage loops PIPELINED across chains.
+
+        The lockstep ``step`` pays max-over-chains shrinkage trips every
+        transition: with C=100 chains a trip-tail target like kidiq
+        (per-chain trips mean≈0.6, p99≈8) costs ~9 potential evaluations
+        per step even though the average chain needs <2.  Here every
+        while-iteration performs exactly ONE batched transformed-PE
+        evaluation, and each chain runs its own (draw → shrink → land →
+        adapt → next draw) machine: a chain that lands starts its next
+        transition immediately instead of idling until the slowest
+        chain's bracket closes.  Work per chain tracks ITS OWN trip
+        count; the only sync point is this call's boundary (chains that
+        finish all ``n_steps`` idle until stragglers catch up, a
+        CLT-small tail for n_steps ≥ thinning).
+
+        Transition semantics (bracket shrinkage, √d radius, pole guard,
+        bail-out θ=0 at 50 trips, adaptation recursion + NaN guard,
+        warmup-boundary clock reset) are identical to ``step``; per-chain
+        RNG streams differ only in split order.  Two evaluations the
+        lockstep path spends per transition are derived instead: the
+        slice level reuses the stored U(x) (the projection round-trip
+        U(x(z(x))) it replaces is the same quantity), and the landing
+        PE is the U(x') already computed by the accepting trip."""
+        C = state.position.shape[0]
+        i0 = state.i
+
+        def sigma_of(scale):
+            return (scale + config.eps * eye) * (d ** 0.5)
+
+        def begin(keys, x, pe, loc, sigma_sqrt):
+            """Fresh-transition draws (no potential evaluation)."""
+            k_next, kv, kt, k0 = split_keys(keys, 4)
+            z = stereographic_project(x, loc, sigma_sqrt)
+            pe_t = pe + d * jnp.log(1.0 - z[:, -1])
+            v = jax.vmap(lambda k: jax.random.normal(k, (d + 1,)))(kv)
+            v = v - jnp.sum(v * z, axis=-1, keepdims=True) * z
+            v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+            t_pe = pe_t - jnp.log(jax.vmap(jax.random.uniform)(kt))
+            theta = jax.vmap(jax.random.uniform)(k0) * _TWO_PI
+            return k_next, z, v, t_pe, theta, theta - _TWO_PI, theta
+
+        keys0, z0, v0, t0, th0, tmin0, tmax0 = begin(
+            state.rng_key, state.position, state.potential_energy,
+            state.adapt_state.loc, sigma_of(state.adapt_state.scale),
+        )
+        carry0 = (
+            keys0, state.position, state.potential_energy,
+            state.adapt_state.loc, state.adapt_state.scale,
+            state.as_change, z0, v0, t0, th0, tmin0, tmax0,
+            jnp.zeros((C,), jnp.int32),   # trips this transition
+            jnp.zeros((C,), jnp.int32),   # steps completed this call
+        )
+
+        def cond(c):
+            return jnp.any(c[13] < n_steps)
+
+        def body(c):
+            (keys, x, pe, loc, scale, as_chg, z, v, t_pe, theta, tmin,
+             tmax, trips, done) = c
+            active = done < n_steps
+            sigma_sqrt = sigma_of(scale)
+            # — the one batched evaluation of this iteration —
+            z_th = z * jnp.cos(theta)[:, None] + v * jnp.sin(theta)[:, None]
+            x_prop = stereographic_inverse(z_th, loc, sigma_sqrt)
+            u_prop = nan_to_inf(batched_potential(x_prop))
+            pole = 1.0 - z_th[:, -1]
+            good = (u_prop + d * jnp.log(pole) <= t_pe) & (pole >= config.eps)
+            bail = trips >= config.max_shrinkage_iters
+            land = active & (good | bail)
+            # bail-out lands at θ=0: stay put (asss.py:94)
+            x_new = jnp.where(land[:, None],
+                              jnp.where(bail[:, None], x, x_prop), x)
+            pe_new = jnp.where(land, jnp.where(bail, pe, u_prop), pe)
+            # adaptation on landing (per-chain clock i0 + done)
+            if config.adapt:
+                _, gamma = adaptation_lr(
+                    i0 + done, config.num_warmup, config.lr_decay
+                )
+                gamma = gamma.astype(jnp.float32)
+                delta = x_new - loc
+                loc_land = loc + gamma[:, None] * delta
+                scale_land = adaptive_scale_update(scale, delta, gamma)
+                chg = jnp.linalg.norm(loc_land - loc, axis=-1) + (
+                    jnp.linalg.norm(scale_land - scale, axis=(-2, -1))
+                )
+                loc_new = jnp.where(land[:, None], loc_land, loc)
+                scale_new = jnp.where(land[:, None, None], scale_land, scale)
+                as_new = jnp.where(land, chg, as_chg)
+            else:
+                loc_new, scale_new, as_new = loc, scale, as_chg
+            done_new = done + land.astype(jnp.int32)
+            # landed chains draw their next transition; shrinking chains
+            # tighten the bracket; finished/idle chains freeze (and stop
+            # consuming randomness)
+            b_keys, b_z, b_v, b_t, b_th, b_tmin, b_tmax = begin(
+                keys, x_new, pe_new, loc_new, sigma_of(scale_new)
+            )
+            shrink = active & ~land
+            s_tmin = jnp.where(shrink & (theta < 0.0), theta, tmin)
+            s_tmax = jnp.where(shrink & (theta >= 0.0), theta, tmax)
+            k_smp, k_keep = split_keys(keys, 2)
+            u = jax.vmap(jax.random.uniform)(k_smp)
+            s_theta = s_tmin + u * (s_tmax - s_tmin)
+
+            def pick(land_v, shrink_v, keep_v, mask_land=land,
+                     mask_shrink=shrink):
+                ml = mask_land.reshape(
+                    mask_land.shape + (1,) * (land_v.ndim - 1)
+                )
+                ms = mask_shrink.reshape(
+                    mask_shrink.shape + (1,) * (land_v.ndim - 1)
+                )
+                return jnp.where(ml, land_v, jnp.where(ms, shrink_v, keep_v))
+
+            keys_new = pick(b_keys, k_keep, keys)
+            z_new = pick(b_z, z, z)
+            v_new = pick(b_v, v, v)
+            t_new = pick(b_t, t_pe, t_pe)
+            th_new = pick(b_th, s_theta, theta)
+            tmin_new = pick(b_tmin, s_tmin, tmin)
+            tmax_new = pick(b_tmax, s_tmax, tmax)
+            trips_new = jnp.where(
+                land, 0, trips + shrink.astype(jnp.int32)
+            )
+            return (keys_new, x_new, pe_new, loc_new, scale_new, as_new,
+                    z_new, v_new, t_new, th_new, tmin_new, tmax_new,
+                    trips_new, done_new)
+
+        c = lax.while_loop(cond, body, carry0)
+        return ASSSState(
+            i=state.i + n_steps,
+            position=c[1],
+            potential_energy=c[2],
+            adapt_state=ASSSAdaptState(c[3], c[4]),
+            as_change=c[5],
+            rng_key=c[0],
+        )
+
     return Kernel(
         name="asss",
         target=target,
         config=config,
         init=jax.jit(init, static_argnames=("n_chains",)),
         step=jax.jit(step),
+        step_n=jax.jit(step_n, static_argnames=("n_steps",)),
     )

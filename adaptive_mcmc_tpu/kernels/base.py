@@ -32,6 +32,12 @@ class Kernel:
     step: Callable[[Any], Any]
     # Optional extras (populated per kernel family):
     sample_field: str = "position"
+    # Optional asynchronous multi-step driver ``step_n(state, n) -> state``:
+    # advances EVERY chain by exactly ``n`` transitions without forcing
+    # chains through data-dependent inner loops in lockstep (see
+    # asss.py::step_n — shrinkage trips pipeline across chains).  Runners
+    # use it instead of n× ``step`` when present.
+    step_n: Any = None
 
 
 def nan_to_inf(pe: Array) -> Array:

@@ -119,18 +119,28 @@ def run_mcmc_sharded(
         )
         return _constrain_chain_axis(state, mesh, n_chains)
 
-    @jax.jit
-    def _warm(state, n_steps):
-        return lax.fori_loop(0, n_steps, lambda _, s: kernel.step(s), state)
+    # Kernels with a pipelined multi-step driver (ASSS: shrinkage trips
+    # interleave across chains) advance via step_n; others run the plain
+    # lockstep fori of step.
+    step_n = getattr(kernel, "step_n", None)
 
     from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n_steps",))
+    def _warm(state, n_steps):
+        if step_n is not None:
+            return step_n(state, n_steps)
+        return lax.fori_loop(0, n_steps, lambda _, s: kernel.step(s), state)
 
     @_partial(jax.jit, static_argnames=("n_collect",))
     def _collect(state, n_collect):
         def body(state, _):
-            state = lax.fori_loop(
-                0, thinning, lambda _, s: kernel.step(s), state
-            )
+            if step_n is not None:
+                state = step_n(state, thinning)
+            else:
+                state = lax.fori_loop(
+                    0, thinning, lambda _, s: kernel.step(s), state
+                )
             out = {sample_field: getattr(state, sample_field)}
             out.update({f: getattr(state, f) for f in extra_fields})
             return state, out

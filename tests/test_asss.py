@@ -7,6 +7,7 @@ import numpy as np
 
 from adaptive_mcmc_tpu import ASSSConfig, asss, models, run_mcmc
 from adaptive_mcmc_tpu.kernels.asss import (
+    ASSSAdaptState,
     stereographic_inverse,
     stereographic_project,
 )
@@ -107,3 +108,56 @@ def test_mixture_both_modes_visited():
     flat = samples.reshape(-1)
     frac_right = float(jnp.mean(flat > 0))
     assert 0.3 < frac_right < 0.7, frac_right
+
+
+def test_step_n_matches_sync_statistically():
+    """The pipelined step_n must sample the same distribution as n sync
+    steps (per-chain trip machines vs lockstep; RNG split order differs,
+    so agreement is statistical, over many chains)."""
+    t = models.std_normal(3)
+    k = asss(t, ASSSConfig(num_warmup=0))
+    s0 = k.init(jax.random.PRNGKey(3), n_chains=512)
+
+    @jax.jit
+    def run_sync(s):
+        return jax.lax.fori_loop(0, 800, lambda _, x: k.step(x), s)
+
+    s_sync = run_sync(s0)
+    s_async = k.step_n(s0, 800)
+    assert int(s_async.i) == 800
+    for tag, s in (("sync", s_sync), ("async", s_async)):
+        pos = np.asarray(s.position)
+        assert abs(pos.mean()) < 0.15, (tag, pos.mean())
+        assert abs(pos.std() - 1.0) < 0.15, (tag, pos.std())
+    # pooled first/second moments agree between the two drivers
+    np.testing.assert_allclose(
+        np.asarray(s_sync.position).mean(axis=0),
+        np.asarray(s_async.position).mean(axis=0),
+        atol=0.2,
+    )
+
+
+def test_step_n_single_step_invariance():
+    """pi P = pi for ONE pipelined transition from exact target samples
+    (the reference's invariance check, asumptions_check cells 27-28)."""
+    import scipy.stats
+
+    t = models.std_normal(1)
+    k = asss(t, ASSSConfig(num_warmup=0, adapt=False))
+    key = jax.random.PRNGKey(11)
+    n = 20_000
+    exact = jax.random.normal(key, (n, 1))
+    # fixed projection center/scale: a state-dependent loc (init's
+    # default loc = x0) correlates kernel and state, which breaks the
+    # POOLED invariance this test checks
+    frozen = ASSSAdaptState(
+        loc=jnp.zeros((n, 1)),
+        scale=jnp.broadcast_to(jnp.eye(1), (n, 1, 1)),
+    )
+    state = k.init(
+        jax.random.PRNGKey(12), n_chains=n, position=exact,
+        adapt_state=frozen,
+    )
+    out = k.step_n(state, 1)
+    ks = scipy.stats.kstest(np.asarray(out.position[:, 0]), "norm")
+    assert ks.pvalue > 1e-3, ks
