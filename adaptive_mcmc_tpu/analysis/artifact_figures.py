@@ -43,6 +43,11 @@ LR_TARGETS = {
     "diamonds": "diamonds",
     "kidiq": "kidiq",
 }
+# output file names follow the reference img/svg inventory exactly
+FIG_KERNEL = {"arwmh": "rwm", "asss": "sss", "nuts": "nuts"}
+PHI_KERNEL = {"arwmh": "arwm", "asss": "asss", "nuts": "nuts"}
+FIG_TARGET = {"eight_schools": "eight-schools", "diamonds": "diamonds",
+              "kidiq": "kidiq"}
 
 
 def _gold(target_name: str):
@@ -107,8 +112,11 @@ def fig_lr_decay_pe(target_name: str, kernel: str, out_dir: Path) -> bool:
     )
     ax.set_ylim(lo[0] - 5, lo[1] + 25)
     ax.legend(loc="upper right")
-    fig.savefig(out_dir / f"{kernel}-pe-lr-{target_name}.svg",
-                bbox_inches="tight")
+    fig.savefig(
+        out_dir
+        / f"{FIG_KERNEL[kernel]}-pe-lr-{FIG_TARGET[target_name]}.svg",
+        bbox_inches="tight",
+    )
     plt.close(fig)
     return True
 
@@ -138,8 +146,11 @@ def fig_lr_decay_adaptation(
     ax.set_xlabel(r"step $n$")
     ax.set_ylabel(r"adaptation changes $d_n$")
     ax.legend(loc="lower left")
-    fig.savefig(out_dir / f"{kernel}-adaptation-lr-{target_name}.svg",
-                bbox_inches="tight")
+    fig.savefig(
+        out_dir
+        / f"{FIG_KERNEL[kernel]}-adaptation-lr-{FIG_TARGET[target_name]}.svg",
+        bbox_inches="tight",
+    )
     plt.close(fig)
     return True
 
@@ -190,8 +201,11 @@ def fig_phi_convergence(out_dir: Path, target_name="eight_schools") -> bool:
         ax.set_xlabel(r"number of samples $n$")
         ax.set_ylabel(r"estimator $\widehat{\pi}_n(\varphi)$")
         ax.legend(loc="upper right")
-        fig.savefig(out_dir / f"{kernel}-phi-eval-{target_name}.svg",
-                    bbox_inches="tight")
+        fig.savefig(
+            out_dir
+            / f"{PHI_KERNEL[kernel]}-phi-eval-{FIG_TARGET[target_name]}.svg",
+            bbox_inches="tight",
+        )
         plt.close(fig)
         made = True
     return made
@@ -221,13 +235,15 @@ def fig_metric_boxplots(out_dir: Path, target_name: str) -> bool:
         sns.boxplot(df, x="algorithm", y=metric, hue="algorithm",
                     whis=[5, 95], ax=ax)
         name = "rmse" if metric == "rmse_means" else metric
-        fig.savefig(out_dir / f"{name}-eval-{target_name}.svg",
-                    bbox_inches="tight")
+        fig.savefig(
+            out_dir / f"{name}-eval-{FIG_TARGET[target_name]}.svg",
+            bbox_inches="tight",
+        )
         plt.close(fig)
     agg = df.groupby("algorithm")[
         ["rmse_means", "wasserstein", "mmd"]
     ].agg(["mean", "std"])
-    agg.to_csv(out_dir / f"eval-aggregate-{target_name}.csv")
+    agg.to_csv(out_dir / f"eval-aggregate-{FIG_TARGET[target_name]}.csv")
     return True
 
 

@@ -160,11 +160,13 @@ def run_lr_decay(
         kernel = build_kernel(
             kernel_name, target, lr_decay=lr_decay, num_warmup=0
         )
-        # 200k steps/program: keeps the slowest cell (diamonds ASSS,
-        # ~200 us/step at 100 chains) under the device watchdog
+        # bound device-program length: the remote worker's watchdog kills
+        # multi-minute programs (observed on diamonds ASSS decade-6
+        # segments); ASSS steps cost ~5-10x ARWMH's, so cap tighter
+        cap = 40_000 if kernel_name == "asss" else 200_000
         states, _ = collect_states_logscale(
             kernel, jax.random.PRNGKey(seed0), n_pow=n_pow,
-            n_chains=n_seeds, max_steps_per_call=200_000,
+            n_chains=n_seeds, max_steps_per_call=cap,
         )
         base.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(
