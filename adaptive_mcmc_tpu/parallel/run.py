@@ -151,6 +151,18 @@ def run_mcmc_sharded(
         rng_key, init_position
     )
 
+    import os as _os
+    import time as _time
+
+    _trace = _os.environ.get("AMT_TRACE_PHASES")
+
+    def _mark(tag, t0):
+        if _trace:
+            print(f"  [run_mcmc_sharded] {tag}: {_time.time() - t0:.1f}s",
+                  flush=True)
+        return _time.time()
+
+    _t = _time.time()
     cap = max_steps_per_call or max(num_warmup + num_samples, 1)
     done = 0
     while done < num_warmup:
@@ -158,6 +170,7 @@ def run_mcmc_sharded(
         state = _warm(state, todo)
         jax.block_until_ready(state.position)
         done += todo
+        _t = _mark(f"warm {todo}", _t)
 
     if fan_out > 1:
         state = jax.jit(fan_state, static_argnames=("fan",))(
@@ -176,6 +189,7 @@ def run_mcmc_sharded(
         jax.block_until_ready(state.position)
         chunks.append(out)
         collected_frames += todo
+        _t = _mark(f"collect {todo}", _t)
     if len(chunks) == 1:
         collected = chunks[0]
     else:
@@ -183,6 +197,7 @@ def run_mcmc_sharded(
             lambda *xs: jnp.concatenate(xs, axis=0), *chunks
         )
     samples = collected.pop(sample_field)
+    _t = _mark("merge+return", _t)
     return samples, collected, state
 
 
