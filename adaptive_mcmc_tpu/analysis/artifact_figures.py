@@ -228,7 +228,7 @@ def fig_metric_boxplots(out_dir: Path, target_name: str) -> bool:
             )
     if not frames:
         return False
-    df = pd.concat(frames)
+    df = pd.concat(frames, ignore_index=True)
     sns.set_palette(sns.color_palette("deep")[3:6])
     for metric in ("rmse_means", "wasserstein", "mmd"):
         fig, ax = plt.subplots(figsize=(5.0, 4.0))
