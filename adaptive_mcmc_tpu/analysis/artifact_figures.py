@@ -169,14 +169,33 @@ def _school_effects(target, draws: np.ndarray) -> np.ndarray:
     return theta
 
 
+def _phi_of(target_name: str, target):
+    """Per-target functional of the phi-convergence study: eight-schools
+    uses min_j theta_j (eight-schools nb cells 59-60); diamonds uses the
+    uncentered intercept b_Intercept = Intercept - mean(X)·b (diamonds
+    nb cell 37 ``get_intercept``) — both on raw draws (those coordinates
+    are untransformed in the unconstrained space)."""
+    if target_name == "diamonds":
+        from adaptive_mcmc_tpu.models import data as _data
+
+        mx = np.asarray(_data.diamonds()["X"])[:, 1:].mean(axis=0)
+
+        def phi(draws: np.ndarray) -> np.ndarray:
+            return draws[..., 0] - draws[..., 1 : 1 + mx.shape[0]] @ mx
+
+        return phi
+    return lambda draws: _school_effects(target, draws).min(axis=-1)
+
+
 def fig_phi_convergence(out_dir: Path, target_name="eight_schools") -> bool:
-    """phi = min_j theta_j running-estimator convergence per kernel
-    (cells 22, 59-60)."""
+    """phi running-estimator convergence per kernel (eight-schools nb
+    cells 22, 59-60; diamonds nb cells 72-75)."""
     target = TARGETS[target_name]()
     gold = _gold(target_name)
     if gold is None:
         return False
-    ref_phi = _school_effects(target, gold).min(axis=1).mean()
+    phi_fn = _phi_of(target_name, target)
+    ref_phi = phi_fn(np.asarray(gold)).mean()
     made = False
     for kernel, color in (("arwmh", "C3"), ("asss", "C4"), ("nuts", "C5")):
         f = RUNS / "w_eval" / target_name / f"{kernel}.npz"
@@ -184,7 +203,7 @@ def fig_phi_convergence(out_dir: Path, target_name="eight_schools") -> bool:
             continue
         with np.load(f) as d:
             samples = d["samples"]  # (seeds, draws, dim)
-        phis = _school_effects(target, samples).min(axis=2)  # (seeds, draws)
+        phis = phi_fn(np.asarray(samples))  # (seeds, draws)
         cum = np.cumsum(phis, axis=1) / np.arange(1, phis.shape[1] + 1)
         cum = cum - ref_phi
         ns = np.arange(1, cum.shape[1] + 1)
@@ -197,7 +216,8 @@ def fig_phi_convergence(out_dir: Path, target_name="eight_schools") -> bool:
         ax.fill_between(ns, np.quantile(cum, 0.05, 0),
                         np.quantile(cum, 0.95, 0), alpha=0.2, color=color,
                         label="90% CI")
-        ax.set_ylim(-0.5, 0.5)
+        if target_name == "eight_schools":
+            ax.set_ylim(-0.5, 0.5)
         ax.set_xlabel(r"number of samples $n$")
         ax.set_ylabel(r"estimator $\widehat{\pi}_n(\varphi)$")
         ax.legend(loc="upper right")
@@ -303,6 +323,9 @@ def main(out_dir: str = "img"):
             f"metric-boxplots-{tname}"
         )
     (made if fig_phi_convergence(out) else skipped).append("phi-eight-schools")
+    (made if fig_phi_convergence(out, "diamonds") else skipped).append(
+        "phi-diamonds"
+    )
     (made if fig_kidiq_predictive(out) else skipped).append("kidiq-predictive")
     print(f"made: {made}")
     if skipped:
