@@ -299,12 +299,15 @@ def fig_contraction_decay(out_dir: Path, n_samples=5000):
 
 
 def fig_kernel_distance(out_dir: Path):
+    """ρ(P_σ, P_1) vs proposal scale for the frozen RWM kernel on the 1-D
+    normal — asumptions_check cell 104 (rwm-normal-kernel-dist-scale.svg)
+    plus the earlier wide-range σ ∈ [0.1, 10] variant the reference keeps
+    as rwm-normal-kernel-dist.svg (labels recovered from the SVG text)."""
     target = models.std_normal(1)
     x = jnp.linspace(-2, 2, 12)
     k1, a1 = _frozen_arwmh(target, step=1.0)
-    rhos = []
-    sigmas = np.array([0.25, 0.5, 1.0, 2.0, 4.0])
-    for s in sigmas:
+
+    def rho_at(s):
         k2, a2 = _frozen_arwmh(target, step=float(s))
         rho, _, _ = compute_kernel_distance_1d(
             make_sample_px(k2, a2),
@@ -315,14 +318,29 @@ def fig_kernel_distance(out_dir: Path):
             n_eval_batches=16,
             max_steps=40,
         )
-        rhos.append(float(rho))
-    fig, ax = plt.subplots(figsize=(6, 4))
-    ax.semilogx(sigmas, rhos, "o-")
-    ax.set_xlabel(r"proposal scale $\sigma$")
-    ax.set_ylabel(r"$\rho(P_\sigma, P_1)$")
-    fig.savefig(out_dir / "rwm-normal-kernel-dist-scale.svg",
-                bbox_inches="tight")
-    plt.close(fig)
+        return float(rho)
+
+    for sigmas, ylab, fname in [
+        (
+            np.array([0.25, 0.5, 1.0, 2.0, 4.0]),
+            r"kernel distance estimate $\rho(P_{\sigma}, P_{1})$",
+            "rwm-normal-kernel-dist-scale",
+        ),
+        (
+            np.geomspace(0.1, 10.0, 9),
+            r"kernel distance $\rho(P_{\sigma}, P_{1})$",
+            "rwm-normal-kernel-dist",
+        ),
+    ]:
+        rhos = [rho_at(s) for s in sigmas]
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.plot(sigmas, rhos, ".-")
+        ax.semilogx()
+        ax.set_xlabel(r"scale $\sigma$, logarithmic")
+        ax.set_ylabel(ylab)
+        ax.set_ylim(bottom=0)
+        fig.savefig(out_dir / f"{fname}.svg", bbox_inches="tight")
+        plt.close(fig)
 
 
 def fig_adaptation_drift(out_dir: Path, n_pow=4):
@@ -390,6 +408,59 @@ def fig_x_step(out_dir: Path, n_samples=50_000):
                     )
                     fig.savefig(out_dir / f"{stem}.svg", bbox_inches="tight")
                     plt.close(fig)
+
+
+def fig_x_step_grids(out_dir: Path, n_samples=100_000):
+    """Aggregate 2×2 step-distribution panels — asumptions_check cells
+    18/22/70/73 ({rwm-*-x-step-s1, sss-*-x-step-m01-s1}.svg).  RWM panels
+    sweep n ∈ {1,5,10,50}; SSS panels sweep (μ, n) ∈ {0,1} × {1,2}."""
+    from adaptive_mcmc_tpu.infer.mcmc import sample_pnx
+
+    def _panel(ax, k, adapt, xs, n, title, modes, lim):
+        Px = sample_pnx(
+            k, jax.random.PRNGKey(0), xs[:, None], adapt,
+            n=int(n), n_samples=n_samples,
+        )[:, :, 0]
+        x = np.asarray(xs)
+        mean = np.asarray(jnp.mean(Px, axis=1))
+        q = np.asarray(
+            jnp.quantile(Px, jnp.array([0.05, 0.25, 0.75, 0.95]), axis=1)
+        )
+        ax.set_title(title)
+        ax.plot(x, mean, color="blue", label="$E[x_{next}]$")
+        ax.fill_between(x, q[1], q[2], alpha=0.5, color="blue",
+                        label="50% CI")
+        ax.fill_between(x, q[0], q[3], alpha=0.3, color="blue",
+                        label="90% CI")
+        ax.plot(x, x, "--", color="gray", label=r"$x = x_{next}$")
+        ax.vlines(modes, -lim, lim, linestyles="--", color="green",
+                  label=r"mode(s) of target $\pi$")
+        ax.set_xlabel("$x$")
+        ax.set_ylabel("$x_{next}$")
+
+    for tname, lim, modes in (("normal", 5.0, [0.0]),
+                              ("mixture", 2.5, [-1.0, 1.0])):
+        xs = jnp.linspace(-lim, lim, 100)
+        # RWM: one frozen kernel, four powers.
+        k, adapt = _frozen_1d("rwm", tname)
+        fig, axs = plt.subplots(2, 2, figsize=(10, 10))
+        for n, ax in zip((1, 5, 10, 50), axs.flatten()):
+            _panel(ax, k, adapt, xs, n, rf"$\sigma=1, n={n}$", modes, lim)
+        axs[1, 1].legend(loc="lower right")
+        fig.savefig(out_dir / f"rwm-{tname}-x-step-s1.svg",
+                    bbox_inches="tight")
+        plt.close(fig)
+        # SSS: rows sweep the adapt-state loc, columns the power.
+        fig, axs = plt.subplots(2, 2, figsize=(10, 10))
+        for loc, row in zip((0.0, 1.0), axs):
+            k, adapt = _frozen_1d("sss", tname, loc=loc)
+            for n, ax in zip((1, 2), row):
+                _panel(ax, k, adapt, xs, n,
+                       rf"$\mu={int(loc)}, \sigma=1, n={n}$", modes, lim)
+        axs[1, 1].legend(loc="lower right")
+        fig.savefig(out_dir / f"sss-{tname}-x-step-m01-s1.svg",
+                    bbox_inches="tight")
+        plt.close(fig)
 
 
 def fig_x_wasserstein(out_dir: Path, n_samples=50_000):
@@ -650,6 +721,7 @@ ALL_FIGURES = {
     "sss_contraction": fig_sss_contraction_decay,
     "sss_kernel_distance": fig_sss_kernel_distance,
     "x_step": fig_x_step,
+    "x_step_grids": fig_x_step_grids,
     "x_wasserstein": fig_x_wasserstein,
     "x_contraction": fig_x_contraction,
     "contraction_decrease": fig_contraction_decrease,
