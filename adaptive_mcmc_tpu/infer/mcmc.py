@@ -54,6 +54,16 @@ def run_mcmc(
     num_collect = num_samples // thinning
     sample_field = kernel.sample_field
 
+    # Kernels with a pipelined multi-step driver (ASSS shrinkage trips,
+    # NUTS tree building) advance via step_n — data-dependent inner loops
+    # interleave across chains instead of running in lockstep.
+    step_n = getattr(kernel, "step_n", None)
+
+    def _advance(state, n):
+        if step_n is not None:
+            return step_n(state, n)
+        return lax.fori_loop(0, n, lambda _, s: kernel.step(s), state)
+
     def _run(rng_key, init_position, init_state):
         state = (
             kernel.init(rng_key, n_chains=n_chains, position=init_position)
@@ -62,14 +72,10 @@ def run_mcmc(
         )
 
         if num_warmup:
-            state = lax.fori_loop(
-                0, num_warmup, lambda _, s: kernel.step(s), state
-            )
+            state = _advance(state, num_warmup)
 
         def body(state, _):
-            state = lax.fori_loop(
-                0, thinning, lambda _, s: kernel.step(s), state
-            )
+            state = _advance(state, thinning)
             out = {sample_field: getattr(state, sample_field)}
             out.update(_select_fields(state, extra_fields))
             return state, out

@@ -58,6 +58,13 @@ class NUTSConfig:
     # leapfrogs per while-loop trip in the subtree builder (trip-overhead
     # amortization for lockstep vmapped trees; finished lanes mask to no-ops)
     unroll_leaves: int = 4
+    # expose the pipelined multi-step driver (step_n): one batched leapfrog
+    # per while-iteration with per-chain tree bookkeeping, so heterogeneous
+    # tree sizes across chains pipeline instead of running in lockstep
+    pipeline: bool = True
+    # leapfrogs per while trip inside step_n (masked no-ops on chains whose
+    # machine is between phases; amortizes the ~5-10 us trip overhead)
+    pipeline_unroll: int = 2
 
 
 class DAState(NamedTuple):
@@ -627,10 +634,432 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             rng_key=keys,
         )
 
+    # -- pipelined multi-step driver ----------------------------------------
+    # Batched (not vmapped) helpers: leading (C,) chains axis everywhere.
+
+    batched_potential_vg = jax.vmap(potential_vg)
+
+    def _bvel(inv_mass, r):
+        """v = M^-1 r, batched; inv_mass (C, d) diag or (C, d, d) dense."""
+        if inv_mass.ndim == 2:
+            return inv_mass * r
+        return jnp.einsum("cij,cj->ci", inv_mass, r)
+
+    def _bvel_rows(inv_mass, R):
+        """v_k = M^-1 r_k for per-chain momentum stacks R (C, D, d)."""
+        if inv_mass.ndim == 2:
+            return inv_mass[:, None, :] * R
+        return jnp.einsum("cij,ckj->cki", inv_mass, R)
+
+    def _bkin(inv_mass, r):
+        return 0.5 * jnp.sum(r * _bvel(inv_mass, r), axis=-1)
+
+    def _bmom(keys, chol_inv_mass):
+        eps = jax.vmap(lambda k: jax.random.normal(k, (d,)))(keys)
+        if chol_inv_mass.ndim == 2:
+            return eps / chol_inv_mass
+        return jax.vmap(
+            lambda L, e: jax.scipy.linalg.solve_triangular(
+                L.T, e, lower=False
+            )
+        )(chol_inv_mass, eps)
+
+    def _bleapfrog(z, r, grad, eps_signed, inv_mass):
+        e = eps_signed[:, None]
+        r = r - 0.5 * e * grad
+        z = z + e * _bvel(inv_mass, r)
+        pe, g = batched_potential_vg(z)
+        pe = nan_to_inf(pe)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        r = r - 0.5 * e * g
+        return z, r, pe, g
+
+    def _bwelford_update(w: WelfordState, x):
+        c = w.count + 1.0
+        delta = x - w.mean
+        mean = w.mean + delta / c[:, None]
+        if config.dense_mass:
+            m2 = w.m2 + jnp.einsum("ci,cj->cij", delta, x - mean)
+        else:
+            m2 = w.m2 + delta * (x - mean)
+        return WelfordState(c, mean, m2)
+
+    def _sel(mask, new, old):
+        """Per-chain select; mask (C,) broadcasts over trailing dims."""
+        m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+        return jnp.where(m, new, old)
+
+    class _Pipe(NamedTuple):
+        """Per-chain NUTS machine: chain state + open tree + open subtree."""
+
+        keys: Array
+        done: Array          # (C,) transitions completed this call
+        x: Array             # (C, d) accepted position
+        pe: Array
+        grad: Array
+        mean_ap: Array
+        ns_last: Array       # num_steps of last finished transition
+        div_last: Array
+        da: DAState
+        inv_mass: Array
+        chol: Array
+        wf: WelfordState
+        eps: Array           # (C,) step size of the open transition
+        energy0: Array
+        # open tree
+        tzl: Array
+        trl: Array
+        tgl: Array
+        tzr: Array
+        trr: Array
+        tgr: Array
+        tzp: Array
+        tpep: Array
+        tgp: Array
+        tlw: Array
+        trs: Array
+        tdep: Array
+        tacc: Array
+        tns: Array
+        # open subtree
+        sgr: Array           # going_right of the open subtree
+        sn: Array            # leaves built
+        snl: Array           # leaves wanted (2^depth)
+        sz: Array            # integration edge
+        sr: Array
+        sg: Array
+        szp: Array
+        spep: Array
+        sgp: Array
+        slw: Array
+        srs: Array
+        rck: Array           # (C, max_depth, d)
+        sck: Array
+        sturn: Array
+        sdiv: Array
+        sacc: Array
+        esg: Array           # (C,) signed eps
+
+    def _trans_eps(da: DAState, i_glob):
+        """Step size for the transition at global iteration index i_glob."""
+        if config.adapt_step_size:
+            return jnp.exp(
+                jnp.where(
+                    i_glob < config.num_warmup, da.log_eps, da.log_eps_avg
+                )
+            )
+        return jnp.exp(da.log_eps)
+
+    def _fresh_tree(k_mom, k_dir, x, pe, grad, da, inv_mass, chol, i_glob):
+        """Everything a chain needs to open transition i_glob from (x, pe,
+        grad): momentum draw, initial tree, first depth-0 subtree."""
+        C = x.shape[0]
+        eps = _trans_eps(da, i_glob)
+        r0 = _bmom(k_mom, chol)
+        e0 = pe + _bkin(inv_mass, r0)
+        gr = jax.vmap(jax.random.bernoulli)(k_dir)
+        zeros_ck = jnp.zeros((C, max_depth, d))
+        return dict(
+            eps=eps, energy0=e0,
+            tzl=x, trl=r0, tgl=grad, tzr=x, trr=r0, tgr=grad,
+            tzp=x, tpep=pe, tgp=grad, tlw=-e0, trs=r0,
+            tdep=jnp.zeros((C,), jnp.int32),
+            tacc=jnp.zeros((C,)), tns=jnp.zeros((C,), jnp.int32),
+            sgr=gr, sn=jnp.zeros((C,), jnp.int32),
+            snl=jnp.ones((C,), jnp.int32),
+            sz=x, sr=r0, sg=grad, szp=x, spep=pe, sgp=grad,
+            slw=jnp.full((C,), -jnp.inf), srs=jnp.zeros((C, d)),
+            rck=zeros_ck, sck=zeros_ck,
+            sturn=jnp.zeros((C,), bool), sdiv=jnp.zeros((C,), bool),
+            sacc=jnp.zeros((C,)),
+            esg=jnp.where(gr, eps, -eps),
+        )
+
+    def step_n(state: NUTSState, n_steps: int) -> NUTSState:
+        """Advance every chain by exactly ``n_steps`` NUTS transitions with
+        tree building PIPELINED across chains.
+
+        The lockstep ``step`` runs vmapped while-loops, so every doubling
+        waits for the slowest chain's subtree and every transition costs
+        max-over-chains tree size; during early warmup a single chain at
+        max_tree_depth forces ~1000 lockstep leapfrogs on the whole batch.
+        Here every while-iteration performs exactly ONE batched leapfrog
+        (+ gradient) and each chain drives its own machine: momentum draw →
+        direction draw → subtree leaves (progressive multinomial + the same
+        checkpoint U-turn bookkeeping as ``_build_subtree``) → biased merge
+        → finalize (dual-averaging / Welford windows, per-chain warmup
+        clock i0 + done) → next momentum draw.  A chain that finishes its
+        transition starts the next one immediately instead of idling until
+        the slowest tree closes; the only sync point is this call's
+        boundary.  Transition semantics are identical to ``step``; per-chain
+        RNG streams differ only in split order."""
+        C = state.position.shape[0]
+        i0 = state.i
+        adapt = state.adapt_state
+        nwl = in_window_mask.shape[0]
+        do_adapt = config.num_warmup > 0 and (
+            config.adapt_step_size or config.adapt_mass_matrix
+        )
+
+        k_keys, k_mom0, k_dir0 = split_keys(state.rng_key, 3)
+        zero_i = jnp.zeros((C,), jnp.int32)
+        fresh0 = _fresh_tree(
+            k_mom0, k_dir0, state.position, state.potential_energy,
+            state.pe_grad, adapt.da, adapt.inv_mass, adapt.chol_inv_mass,
+            jnp.full((C,), i0, jnp.int32),
+        )
+        p0 = _Pipe(
+            keys=k_keys, done=zero_i,
+            x=state.position, pe=state.potential_energy, grad=state.pe_grad,
+            mean_ap=state.mean_accept_prob, ns_last=state.num_steps,
+            div_last=state.diverging,
+            da=adapt.da, inv_mass=adapt.inv_mass, chol=adapt.chol_inv_mass,
+            wf=adapt.welford, **fresh0,
+        )
+
+        def cond(p: _Pipe):
+            return jnp.any(p.done < n_steps)
+
+        def body(p: _Pipe) -> _Pipe:
+            active = p.done < n_steps
+            k_next, k_acc, k_bias, k_dir, k_mom = split_keys(p.keys, 5)
+            keys = _sel(active, k_next, p.keys)
+
+            # — the one batched leapfrog of this iteration —
+            z, r, pe_l, g = _bleapfrog(p.sz, p.sr, p.sg, p.esg, p.inv_mass)
+            energy = pe_l + _bkin(p.inv_mass, r)
+            energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
+            delta = energy - p.energy0
+            div_leaf = delta > max_delta
+            lw_leaf = -energy
+            slw = jnp.logaddexp(p.slw, lw_leaf)
+            u_acc = jax.vmap(jax.random.uniform)(k_acc)
+            take = u_acc < jnp.exp(lw_leaf - slw)
+            szp = _sel(take, z, p.szp)
+            spep = _sel(take, pe_l, p.spep)
+            sgp = _sel(take, g, p.sgp)
+            sacc = p.sacc + jnp.minimum(1.0, jnp.exp(-delta))
+            # checkpoint push (even leaves) / subtree closes (odd leaves) —
+            # same dense one-hot scheme as _build_subtree, batched over C
+            n = p.sn
+            srs = p.srs + r
+            is_even = (n % 2) == 0
+            slot = slot_table[n]
+            t = trail_table[n]
+            jd = jnp.arange(max_depth)[None, :]
+            onehot = ((jd == slot[:, None]) & is_even[:, None])[:, :, None]
+            rck = jnp.where(onehot, r[:, None, :], p.rck)
+            sck = jnp.where(onehot, p.srs[:, None, :], p.sck)
+            rho_all = srs[:, None, :] - sck
+            v_first = _bvel_rows(p.inv_mass, rck)
+            v_last = _bvel(p.inv_mass, r)
+            turn_all = (jnp.sum(v_first * rho_all, axis=-1) <= 0.0) | (
+                jnp.sum(rho_all * v_last[:, None, :], axis=-1) <= 0.0
+            )
+            sel_slots = (
+                (~is_even)[:, None]
+                & (jd <= slot[:, None])
+                & (jd > (slot - t)[:, None])
+            )
+            sturn = p.sturn | jnp.any(turn_all & sel_slots, axis=-1)
+            sdiv = p.sdiv | div_leaf
+            sn = n + 1
+
+            # — subtree close → biased merge into the tree —
+            sub_done = active & ((sn >= p.snl) | sturn | sdiv)
+            invalid = sturn | sdiv
+            accept_p = jnp.exp(jnp.minimum(0.0, slw - p.tlw))
+            u_b = jax.vmap(jax.random.uniform)(k_bias)
+            take_t = sub_done & (u_b < accept_p) & ~invalid
+            tzp = _sel(take_t, szp, p.tzp)
+            tpep = _sel(take_t, spep, p.tpep)
+            tgp = _sel(take_t, sgp, p.tgp)
+            ml = sub_done & ~p.sgr
+            mr = sub_done & p.sgr
+            tzl = _sel(ml, z, p.tzl)
+            trl = _sel(ml, r, p.trl)
+            tgl = _sel(ml, g, p.tgl)
+            tzr = _sel(mr, z, p.tzr)
+            trr = _sel(mr, r, p.trr)
+            tgr = _sel(mr, g, p.tgr)
+            trs = _sel(sub_done, p.trs + srs, p.trs)
+            tlw = _sel(sub_done, jnp.logaddexp(p.tlw, slw), p.tlw)
+            vl = _bvel(p.inv_mass, trl)
+            vr = _bvel(p.inv_mass, trr)
+            turning_full = (jnp.sum(vl * trs, axis=-1) <= 0.0) | (
+                jnp.sum(vr * trs, axis=-1) <= 0.0
+            )
+            tturn = jnp.where(sub_done, invalid | turning_full, False)
+            tdiv = jnp.where(sub_done, sdiv, False)
+            tdep = jnp.where(sub_done, p.tdep + 1, p.tdep)
+            tacc = jnp.where(sub_done, p.tacc + sacc, p.tacc)
+            tns = jnp.where(sub_done, p.tns + sn, p.tns)
+            tree_done = sub_done & (tturn | tdiv | (tdep >= max_depth))
+            tree_cont = sub_done & ~tree_done
+
+            # — finalize completed transitions —
+            i_glob = i0 + p.done
+            in_warm = i_glob < config.num_warmup
+            ap = tacc / jnp.maximum(tns.astype(jnp.float32), 1.0)
+            x_new = _sel(tree_done, tzp, p.x)
+            pe_new = _sel(tree_done, tpep, p.pe)
+            grad_new = _sel(tree_done, tgp, p.grad)
+            itr = i_glob + 1
+            nf = jnp.where(in_warm, itr, itr - config.num_warmup).astype(
+                jnp.float32
+            )
+            mean_ap = jnp.where(
+                tree_done, p.mean_ap + (ap - p.mean_ap) / nf, p.mean_ap
+            )
+            ns_last = jnp.where(tree_done, tns, p.ns_last)
+            div_last = jnp.where(tree_done, tdiv & ~in_warm, p.div_last)
+
+            da, inv_mass, chol, wf = p.da, p.inv_mass, p.chol, p.wf
+            if do_adapt:
+                adapt_mask = tree_done & in_warm
+                idx = jnp.minimum(i_glob, nwl - 1)
+                in_win = in_window_mask[idx] & adapt_mask
+                win_end = window_end_mask[idx] & adapt_mask
+                if config.adapt_step_size:
+                    da_cand = _da_update(da, ap)
+                    da = jax.tree.map(
+                        lambda new, old: _sel(adapt_mask, new, old),
+                        da_cand, da,
+                    )
+                if config.adapt_mass_matrix:
+                    wf_cand = _bwelford_update(wf, x_new)
+                    wf = jax.tree.map(
+                        lambda new, old: _sel(in_win, new, old), wf_cand, wf
+                    )
+
+                    def _close(args):
+                        da, inv_mass, chol, wf = args
+                        inv_f, chol_f = jax.vmap(_welford_finalize)(wf)
+                        inv2 = _sel(win_end, inv_f, inv_mass)
+                        chol2 = _sel(win_end, chol_f, chol)
+                        wf2 = jax.tree.map(
+                            lambda new, old: _sel(win_end, new, old),
+                            _fresh_welford(C), wf,
+                        )
+                        da2 = da
+                        if config.adapt_step_size:
+                            da2 = jax.tree.map(
+                                lambda new, old: _sel(win_end, new, old),
+                                _da_init(da.log_eps, C), da,
+                            )
+                        return da2, inv2, chol2, wf2
+
+                    da, inv_mass, chol, wf = lax.cond(
+                        jnp.any(win_end),
+                        _close,
+                        lambda args: args,
+                        (da, inv_mass, chol, wf),
+                    )
+
+            done = p.done + tree_done.astype(jnp.int32)
+            start_new = tree_done & (done < n_steps)
+
+            # — continuing trees draw a direction and open the next
+            #   subtree from the chosen edge —
+            gr_draw = jax.vmap(jax.random.bernoulli)(k_dir)
+            edge_z = _sel(gr_draw, tzr, tzl)
+            edge_r = _sel(gr_draw, trr, trl)
+            edge_g = _sel(gr_draw, tgr, tgl)
+
+            # — finished chains (except those done with the call) open the
+            #   next transition from the finalized state —
+            fresh = _fresh_tree(
+                k_mom, k_dir, x_new, pe_new, grad_new, da, inv_mass, chol,
+                i0 + done,
+            )
+
+            def pick3(new_v, cont_v, keep_v):
+                return _sel(
+                    start_new, new_v, _sel(tree_cont, cont_v, keep_v)
+                )
+
+            zero_f = jnp.zeros((C,))
+            zero_ck = jnp.zeros((C, max_depth, d))
+            neg_inf = jnp.full((C,), -jnp.inf)
+            return _Pipe(
+                keys=keys, done=done,
+                x=x_new, pe=pe_new, grad=grad_new,
+                mean_ap=mean_ap, ns_last=ns_last, div_last=div_last,
+                da=da, inv_mass=inv_mass, chol=chol, wf=wf,
+                eps=pick3(fresh["eps"], p.eps, p.eps),
+                energy0=pick3(fresh["energy0"], p.energy0, p.energy0),
+                tzl=pick3(fresh["tzl"], tzl, tzl),
+                trl=pick3(fresh["trl"], trl, trl),
+                tgl=pick3(fresh["tgl"], tgl, tgl),
+                tzr=pick3(fresh["tzr"], tzr, tzr),
+                trr=pick3(fresh["trr"], trr, trr),
+                tgr=pick3(fresh["tgr"], tgr, tgr),
+                tzp=pick3(fresh["tzp"], tzp, tzp),
+                tpep=pick3(fresh["tpep"], tpep, tpep),
+                tgp=pick3(fresh["tgp"], tgp, tgp),
+                tlw=pick3(fresh["tlw"], tlw, tlw),
+                trs=pick3(fresh["trs"], trs, trs),
+                tdep=pick3(fresh["tdep"], tdep, tdep),
+                tacc=pick3(fresh["tacc"], tacc, tacc),
+                tns=pick3(fresh["tns"], tns, tns),
+                sgr=pick3(fresh["sgr"], gr_draw, p.sgr),
+                sn=pick3(fresh["sn"], zero_i, sn),
+                snl=pick3(
+                    fresh["snl"],
+                    jnp.int32(1) << jnp.minimum(tdep, max_depth - 1),
+                    p.snl,
+                ),
+                sz=pick3(fresh["sz"], edge_z, z),
+                sr=pick3(fresh["sr"], edge_r, r),
+                sg=pick3(fresh["sg"], edge_g, g),
+                szp=pick3(fresh["szp"], edge_z, szp),
+                spep=pick3(fresh["spep"], zero_f, spep),
+                sgp=pick3(fresh["sgp"], edge_g, sgp),
+                slw=pick3(fresh["slw"], neg_inf, slw),
+                srs=pick3(fresh["srs"], jnp.zeros((C, d)), srs),
+                rck=pick3(fresh["rck"], zero_ck, rck),
+                sck=pick3(fresh["sck"], zero_ck, sck),
+                sturn=pick3(fresh["sturn"], jnp.zeros((C,), bool), sturn),
+                sdiv=pick3(fresh["sdiv"], jnp.zeros((C,), bool), sdiv),
+                sacc=pick3(fresh["sacc"], zero_f, sacc),
+                esg=pick3(
+                    fresh["esg"], jnp.where(gr_draw, p.eps, -p.eps), p.esg
+                ),
+            )
+
+        zero_i = jnp.zeros((C,), jnp.int32)
+        K = max(1, config.pipeline_unroll)
+
+        def body_unrolled(p: _Pipe) -> _Pipe:
+            for _ in range(K):
+                p = body(p)
+            return p
+
+        p = lax.while_loop(cond, body_unrolled, p0)
+        return NUTSState(
+            i=state.i + n_steps,
+            position=p.x,
+            potential_energy=p.pe,
+            pe_grad=p.grad,
+            mean_accept_prob=p.mean_ap,
+            num_steps=p.ns_last,
+            diverging=p.div_last,
+            adapt_state=NUTSAdaptState(
+                da=p.da, inv_mass=p.inv_mass, chol_inv_mass=p.chol,
+                welford=p.wf,
+            ),
+            rng_key=p.keys,
+        )
+
     return Kernel(
         name="nuts",
         target=target,
         config=config,
         init=jax.jit(init, static_argnames=("n_chains",)),
         step=jax.jit(step),
+        step_n=(
+            jax.jit(step_n, static_argnames=("n_steps",))
+            if config.pipeline
+            else None
+        ),
     )

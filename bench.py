@@ -36,7 +36,15 @@ def time_kernel(kernel, n_chains, *, warmup_steps, timed_steps, n_blocks=3,
     warm + compile), then time `n_blocks` blocks of `timed_steps`."""
     state = kernel.init(jax.random.PRNGKey(0), n_chains=n_chains)
 
+    # Time the production driver: kernels with a pipelined multi-step
+    # step_n (ASSS, NUTS) are advanced through it — that is what the
+    # sweep runners execute — others via a fori of the lockstep step.
+    step_n = getattr(kernel, "step_n", None)
+
     def run_n(n):
+        if step_n is not None:
+            return jax.jit(lambda state: step_n(state, n))
+
         @jax.jit
         def body(state):
             return jax.lax.fori_loop(0, n, lambda _, s: kernel.step(s), state)

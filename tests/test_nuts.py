@@ -188,3 +188,67 @@ def test_kidiq_quadrature_truth():
         atol=float(4 * truth["sd_beta"].max() / np.sqrt(500) + 0.05),
     )
     assert abs(s[:, 3].mean() - truth["mean_log_sigma"]) < 0.015
+
+
+def test_step_n_matches_sync_statistically():
+    """The pipelined step_n (one batched leapfrog per while-iteration,
+    per-chain tree machines) must sample the same distribution as n
+    lockstep steps — RNG split order differs, so agreement is statistical
+    over many chains, including the adaptation end state."""
+    t = models.eight_schools_noncentered()
+    k = nuts(t, NUTSConfig(num_warmup=300))
+    s0 = k.init(jax.random.PRNGKey(3), n_chains=256)
+
+    @jax.jit
+    def run_sync(s):
+        return jax.lax.fori_loop(0, 600, lambda _, x: k.step(x), s)
+
+    s_sync = run_sync(s0)
+    s_async = k.step_n(s0, 600)
+    assert int(s_async.i) == 600
+    # pooled posterior moments agree between drivers
+    np.testing.assert_allclose(
+        np.asarray(s_sync.position).mean(axis=0),
+        np.asarray(s_async.position).mean(axis=0),
+        atol=0.5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sync.position).std(axis=0),
+        np.asarray(s_async.position).std(axis=0),
+        rtol=0.35, atol=0.15,
+    )
+    # adaptation converged to the same step-size/mass-matrix scale
+    eps_sync = np.exp(np.asarray(s_sync.adapt_state.da.log_eps_avg)).mean()
+    eps_async = np.exp(np.asarray(s_async.adapt_state.da.log_eps_avg)).mean()
+    assert abs(np.log(eps_async) - np.log(eps_sync)) < 0.35, (
+        eps_sync, eps_async,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_sync.adapt_state.inv_mass).mean(axis=0),
+        np.asarray(s_async.adapt_state.inv_mass).mean(axis=0),
+        rtol=0.5, atol=0.1,
+    )
+    # both report healthy acceptance statistics
+    for s in (s_sync, s_async):
+        ap = float(np.asarray(s.mean_accept_prob).mean())
+        assert 0.6 < ap < 0.99, ap
+
+
+def test_step_n_frozen_kernel_invariance():
+    """pi P = pi for pipelined transitions with adaptation frozen: start
+    chains from exact std-normal draws, advance 3 transitions, KS-test the
+    pooled result against N(0, 1)."""
+    import scipy.stats
+
+    t = models.std_normal(2)
+    k = nuts(t, NUTSConfig(
+        num_warmup=0, adapt_step_size=False, adapt_mass_matrix=False,
+        step_size=0.5,
+    ))
+    n = 8192
+    exact = jax.random.normal(jax.random.PRNGKey(21), (n, 2))
+    state = k.init(jax.random.PRNGKey(22), n_chains=n, position=exact)
+    out = k.step_n(state, 3)
+    pooled = np.asarray(out.position).reshape(-1)
+    ks = scipy.stats.kstest(pooled, "norm")
+    assert ks.pvalue > 1e-3, ks
