@@ -178,7 +178,7 @@ def evaluate_run(
     exact_wasserstein_seeds: Optional[int] = None,
     exact_w_solver: str = "auction",
     exact_w_batch: int = 1,
-    hungarian_check_seeds: int = 1,
+    hungarian_check_seeds: int = 2,
     sinkhorn: bool = True,
     verbose: bool = False,
 ):
@@ -195,6 +195,9 @@ def evaluate_run(
       range/(2e4) of optimal).  The first ``hungarian_check_seeds``
       seeds are ALSO solved with the exact host Hungarian and the two
       must agree to 2e-3 — a per-run guard against auction regressions.
+      The default of 2 covers both the cold-start solve (seed 0) and a
+      warm-started solve (seed 1, prices carried over), so a
+      warm-start-specific regression is caught in production sweeps too.
     * ``"host"`` — exact Hungarian for every covered seed (O(n³), ~90
       s/seed/core at n=10k; process pool on multi-core hosts)."""
     import concurrent.futures as cf

@@ -117,6 +117,13 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
         "config": json.loads(config.to_json()),
         "wall_seconds": wall,
         "chain_iters_per_sec": total_iters / wall,
+        # provenance stamp: which step driver generated these draws
+        # (pipelined step_n vs plain lockstep scan) — eval rows must be
+        # computed from draws with the same stamp (ADVICE r2 #4)
+        "driver": (
+            "step_n" if getattr(kernel, "step_n", None) is not None
+            else "lockstep"
+        ),
     }
     np.savez_compressed(
         out_path,

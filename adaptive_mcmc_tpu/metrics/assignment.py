@@ -10,10 +10,10 @@ Three backends behind one dispatch (cheapest-correct first):
   that runs ON DEVICE: each round is a top-2 reduction over a
   (block, m) slice of the cost matrix, so work tracks the number of bids
   and the O(n²) cost matrix never ships to the host.  ε-approximate
-  (mean assigned cost within ε_final ≈ range/(10n) of the exact 1-1
-  Wasserstein) — the sweep-scale solver on this host (1 CPU core: the
-  exact host Hungarian needs ~90 s/seed at n=10k; the auction runs the
-  whole thing in TPU HBM).
+  (mean assigned cost within ε_final = range/(2n) of the exact 1-1
+  Wasserstein by default) — the sweep-scale solver on this host (1 CPU
+  core: the exact host Hungarian needs ~90 s/seed at n=10k; the auction
+  runs the whole thing in TPU HBM).
 """
 
 from __future__ import annotations
@@ -210,8 +210,8 @@ def auction_assignment(
     benefit = -cost
     rng = float(jnp.max(cost) - jnp.min(cost))
     if eps_final is None:
-        # mean assigned cost within eps_final of optimal; range/(2n) keeps
-        # the error ~2e-4·range — below the 1e-3 table precision — while
+        # mean assigned cost within eps_final = range/(2n) of optimal
+        # (5e-5·range at n=10k) — below the 1e-3 table precision — while
         # running ~3x faster than range/(10n) (fewer endgame price wars)
         eps_final = max(rng, 1e-6) / (2.0 * n)
     if prices_init is None:
@@ -249,6 +249,15 @@ def auction_assignment(
                 )
             spent += rounds
         if eps <= eps_final:
+            if int(jnp.sum(row_to_col < 0)) > 0:
+                # A partial assignment would silently corrupt the exact-W
+                # value downstream (cost[i, -1] wraps to the last column).
+                raise RuntimeError(
+                    f"auction exhausted max_rounds={max_rounds} at "
+                    f"eps_final with {int(jnp.sum(row_to_col < 0))} rows "
+                    "unassigned — raise max_rounds or use the Hungarian "
+                    "solver for this instance"
+                )
             return (row_to_col, prices) if return_prices else row_to_col
         eps = max(eps / scaling_factor, eps_final)
 
@@ -324,5 +333,12 @@ def auction_assignment_batch(
                 )
             spent += rounds
         if eps <= eps_final:
+            bad = int(jnp.sum(jnp.any(row_to_col < 0, axis=1)))
+            if bad > 0:
+                raise RuntimeError(
+                    f"batched auction exhausted max_rounds={max_rounds} at "
+                    f"eps_final with {bad} instances incomplete — raise "
+                    "max_rounds or use the Hungarian solver"
+                )
             return row_to_col
         eps = max(eps / scaling_factor, eps_final)
