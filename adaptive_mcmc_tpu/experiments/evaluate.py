@@ -146,10 +146,27 @@ def posteriordb_reference_draws(target_name: str) -> Optional[np.ndarray]:
     return None
 
 
+def vendored_gold_draws(target_name: str) -> Optional[np.ndarray]:
+    """Vendored real gold-standard draws in comparison space.
+
+    diamonds: the PosteriorDB gold standard, extracted from the
+    reference's checked-in pickle (scripts/make_diamonds_real.py) —
+    10k x 26 float32 in [Intercept, b(24), log(sigma)] layout."""
+    from adaptive_mcmc_tpu import models as _models
+
+    p = (
+        Path(_models.__file__).parent / "_gold" / f"{target_name}.npy"
+    )
+    return np.load(p) if p.exists() else None
+
+
 def get_reference_draws(
     target_name: str, n_draws: int = 10_000, **kw
 ) -> np.ndarray:
     ref = posteriordb_reference_draws(target_name)
+    if ref is not None:
+        return ref
+    ref = vendored_gold_draws(target_name)
     if ref is not None:
         return ref
     return make_reference_draws(target_name, n_draws, **kw)

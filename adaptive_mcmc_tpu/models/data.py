@@ -88,25 +88,42 @@ def kidiq() -> dict:
 def diamonds() -> dict:
     """diamonds GLM (brms formulation): log(price) on 24 predictors, N=5000.
 
-    Synthetic fallback: X has an intercept column plus 24 correlated
-    predictors on the scale of the real design (log-carat plus polynomial and
-    dummy-coded terms); Y = 8 + Xc @ b_true + N(0, 0.25), matching the
-    Intercept ~ StudentT(3, 8, 10) prior centering of the Stan model
-    (/root/reference/python/scripts/run_diamonds_wasserstein.py:23-39).
+    Fallback: a dataset RECONSTRUCTED to have the real posterior.  The
+    diamonds model is a Gaussian linear regression (b ~ N(0,1)^24,
+    Y ~ N(Intercept + Xc b, sigma) — run_diamonds_wasserstein.py:23-39),
+    so its posterior depends on the data only through the sufficient
+    statistics (n, Xc'Xc, Xc'Yc, Yc'Yc, Ybar).  Those were recovered from
+    the reference's checked-in real-diamonds gold-standard draws
+    (python/mcmc_runs/diamonds-example-references.pkl; see
+    scripts/make_diamonds_real.py) and vendored in _diamonds_stats.npz;
+    this generator synthesizes a deterministic (X, Y) matching them
+    EXACTLY, so the resulting posterior equals the real one up to the
+    ~1.4%-relative sampling noise of a 10k-draw covariance estimate —
+    including its defining difficulty: posterior b-stds spanning
+    0.001..0.57 (prior-dominated near-collinear directions) with
+    cond(cov) = 3.4e5.
     """
     d = _pdb_data("diamonds")
     if d is not None:
         return {"Y": np.asarray(d["Y"], np.float32),
                 "X": np.asarray(d["X"], np.float32)}
-    rng = np.random.default_rng(20260816)
-    n, k = 5000, 25
-    z = rng.standard_normal((n, 4)).astype(np.float32)
-    mix = rng.standard_normal((4, k - 1)).astype(np.float32) * 0.6
-    X = np.empty((n, k), np.float32)
-    X[:, 0] = 1.0
-    X[:, 1:] = z @ mix + 0.5 * rng.standard_normal((n, k - 1)).astype(np.float32)
-    b_true = (0.3 * rng.standard_normal(k - 1)).astype(np.float32)
-    b_true[0] = 1.5  # dominant log-carat-like predictor
-    Xc = X[:, 1:] - X[:, 1:].mean(axis=0, keepdims=True)
-    Y = (8.0 + Xc @ b_true + 0.25 * rng.standard_normal(n)).astype(np.float32)
-    return {"Y": Y, "X": X}
+    s = np.load(Path(__file__).parent / "_diamonds_stats.npz")
+    A, c, yty, ybar, n = (
+        s["A"], s["c"], float(s["yty"]), float(s["ybar"]), int(s["n"])
+    )
+    k = A.shape[0]
+    rng = np.random.default_rng(20260817)
+    # orthonormal frame U (n, k+1), all columns orthogonal to the ones
+    # vector (QR of column-centered gaussians stays in the centered span)
+    G = rng.standard_normal((n, k + 1))
+    G -= G.mean(axis=0, keepdims=True)
+    Q, _ = np.linalg.qr(G)
+    U, u_res = Q[:, :k], Q[:, k]
+    L = np.linalg.cholesky(A)
+    Xc = U @ L.T                       # Xc'Xc = A exactly, column means 0
+    beta_star = np.linalg.solve(A, c)
+    r2 = yty - float(c @ beta_star)    # residual sum of squares
+    assert r2 > 0, r2
+    Yc = Xc @ beta_star + np.sqrt(r2) * u_res
+    X = np.concatenate([np.ones((n, 1)), Xc], axis=1)
+    return {"Y": (ybar + Yc).astype(np.float32), "X": X.astype(np.float32)}
