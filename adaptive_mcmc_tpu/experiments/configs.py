@@ -53,6 +53,10 @@ W_EVAL_BUDGETS = {
     ("kidiq", "arwmh"): dict(num_warmup=10_000, num_samples=100_000, thinning=10),
     ("kidiq", "asss"): dict(num_warmup=10_000, num_samples=100_000, thinning=10),
     ("kidiq", "nuts"): dict(num_warmup=1_000, num_samples=10_000, thinning=1),
+    # The reference exposes SA only as a kernel baseline (numpyro_kernels.py:
+    # 16-73), never in a w_eval sweep; this cell gives the fourth kernel a
+    # quality row under the ASSS eight-schools budget (our own choice).
+    ("eight_schools", "sa"): dict(num_warmup=25_000, num_samples=250_000, thinning=25),
 }
 
 LR_DECAYS = (1.0, 2.0 / 3.0, 0.5)
