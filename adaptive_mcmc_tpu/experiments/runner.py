@@ -34,6 +34,21 @@ TARGETS: Dict[str, Callable] = {
 }
 
 
+def _driver_name(kernel, kernel_name: str) -> str:
+    """Which driver run_mcmc_sharded will pick for this kernel + the
+    w_eval extra_fields (provenance stamp for the saved npz)."""
+    fields = {"position", "potential_energy"}
+    if kernel_name in ("arwmh", "rwm", "asss"):
+        fields.add("as_change")
+    if getattr(kernel, "collect_n", None) is not None and fields <= set(
+        getattr(kernel, "collect_fields", ())
+    ):
+        return "collect_n"
+    if getattr(kernel, "step_n", None) is not None:
+        return "step_n"
+    return "lockstep"
+
+
 def build_kernel(name: str, target, *, lr_decay: float, num_warmup: int):
     if name in ("arwmh", "rwm"):
         cfg = _kernels.ARWMHConfig(
@@ -118,12 +133,10 @@ def run_w_eval(config: RunConfig, verbose: bool = True) -> Path:
         "wall_seconds": wall,
         "chain_iters_per_sec": total_iters / wall,
         # provenance stamp: which step driver generated these draws
-        # (pipelined step_n vs plain lockstep scan) — eval rows must be
-        # computed from draws with the same stamp (ADVICE r2 #4)
-        "driver": (
-            "step_n" if getattr(kernel, "step_n", None) is not None
-            else "lockstep"
-        ),
+        # (pipelined in-driver collector / pipelined step_n scan / plain
+        # lockstep scan) — eval rows must be computed from draws with the
+        # same stamp (ADVICE r2 #4).  Mirrors run_mcmc_sharded's choice.
+        "driver": _driver_name(kernel, config.kernel),
     }
     np.savez_compressed(
         out_path,

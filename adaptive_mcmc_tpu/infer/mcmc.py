@@ -58,6 +58,14 @@ def run_mcmc(
     # NUTS tree building) advance via step_n — data-dependent inner loops
     # interleave across chains instead of running in lockstep.
     step_n = getattr(kernel, "step_n", None)
+    # Pipelined thinned-draw collector: records draws inside the driver
+    # (one straggler barrier per run instead of per frame).
+    collect_n = getattr(kernel, "collect_n", None)
+    if collect_n is not None and not (
+        {sample_field, *extra_fields}
+        <= set(getattr(kernel, "collect_fields", ()))
+    ):
+        collect_n = None
 
     def _advance(state, n):
         if step_n is not None:
@@ -73,6 +81,16 @@ def run_mcmc(
 
         if num_warmup:
             state = _advance(state, num_warmup)
+
+        if collect_n is not None:
+            state, bufs = collect_n(
+                state, n_frames=num_collect, thinning=thinning
+            )
+            samples = jnp.moveaxis(bufs[sample_field], 0, 1)
+            collected = {
+                f: jnp.moveaxis(bufs[f], 0, 1) for f in extra_fields
+            }
+            return samples, collected, state
 
         def body(state, _):
             state = _advance(state, thinning)

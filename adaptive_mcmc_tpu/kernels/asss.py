@@ -39,6 +39,10 @@ from adaptive_mcmc_tpu.kernels.base import (
     adaptation_lr,
     batch_positions,
     nan_to_inf,
+    recorder_drift_ok,
+    recorder_flush,
+    recorder_init,
+    recorder_write,
     split_keys,
 )
 from adaptive_mcmc_tpu.ops.cholesky import adaptive_scale_update
@@ -54,6 +58,11 @@ class ASSSConfig:
     max_shrinkage_iters: int = 50
     num_warmup: int = 0
     adapt: bool = True
+    # Bodies per while-loop iteration in the pipelined drivers (step_n /
+    # collect_n).  The body is fully masked on inactive chains, so extra
+    # applications are no-ops; unrolling amortises the loop's fixed cost
+    # (cond reduction + carry round-trip) over K batched evaluations.
+    pipeline_unroll: int = 4
 
 
 class ASSSAdaptState(NamedTuple):
@@ -231,9 +240,16 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
             rng_key=keys,
         )
 
-    def step_n(state: ASSSState, n_steps: int) -> ASSSState:
+    def _drive(state: ASSSState, n_steps: int, n_frames: int, thinning: int):
         """Advance every chain by exactly ``n_steps`` transitions with the
         shrinkage loops PIPELINED across chains.
+
+        With ``n_frames > 0`` additionally records each chain's every
+        ``thinning``-th landed position (+ potential energy, as_change)
+        into a preallocated ``(C, n_frames, ...)`` buffer as the chain
+        lands it (the ``collect_n`` path) — chains record thinned draws at
+        their own pace and only the call boundary synchronises, instead of
+        paying the max-over-chains bracket tail at every frame.
 
         The lockstep ``step`` pays max-over-chains shrinkage trips every
         transition: with C=100 chains a trip-tail target like kidiq
@@ -293,6 +309,14 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
             (keys, x, pe, loc, scale, as_chg, z, v, t_pe, theta, tmin,
              tmax, trips, done) = c
             active = done < n_steps
+            if n_frames > 0:
+                # collect path: chains whose next thinned write would
+                # leave the live ring window idle until the flush head
+                # catches up (every body update is already masked on
+                # ``active``, so idling freezes the chain in place and
+                # its RNG stream pauses with it — the resumed trajectory
+                # is bitwise the step_n one)
+                active = active & recorder_drift_ok(done, thinning)
             sigma_sqrt = sigma_of(scale)
             # — the one batched evaluation of this iteration —
             z_th = z * jnp.cos(theta)[:, None] + v * jnp.sin(theta)[:, None]
@@ -361,8 +385,36 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
                     z_new, v_new, t_new, th_new, tmin_new, tmax_new,
                     trips_new, done_new)
 
-        c = lax.while_loop(cond, body, carry0)
-        return ASSSState(
+        F = n_frames
+        ring0, out0 = recorder_init(
+            C, F,
+            {"position": (d,), "potential_energy": (), "as_change": ()},
+        )
+
+        def cond2(cc):
+            return cond(cc[0])
+
+        K = max(1, config.pipeline_unroll)
+
+        def body2(cc):
+            c, ring, out = cc
+            for _ in range(K):
+                done_before = c[13]
+                c = body(c)
+                if F > 0:
+                    ring = recorder_write(
+                        ring, done_before, c[13], thinning,
+                        {"position": c[1], "potential_energy": c[2],
+                         "as_change": c[5]},
+                    )
+                    out = recorder_flush(ring, out, c[13], thinning, F)
+            return (c, ring, out)
+
+        c, _, out = lax.while_loop(cond2, body2, (carry0, ring0, out0))
+        bx, bpe, bas = (
+            out["position"], out["potential_energy"], out["as_change"]
+        )
+        final = ASSSState(
             i=state.i + n_steps,
             position=c[1],
             potential_energy=c[2],
@@ -370,6 +422,15 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
             as_change=c[5],
             rng_key=c[0],
         )
+        return final, {
+            "position": bx, "potential_energy": bpe, "as_change": bas,
+        }
+
+    def step_n(state: ASSSState, n_steps: int) -> ASSSState:
+        return _drive(state, n_steps, 0, 1)[0]
+
+    def collect_n(state: ASSSState, n_frames: int, thinning: int = 1):
+        return _drive(state, n_frames * thinning, n_frames, thinning)
 
     return Kernel(
         name="asss",
@@ -378,4 +439,6 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
         init=jax.jit(init, static_argnames=("n_chains",)),
         step=jax.jit(step),
         step_n=jax.jit(step_n, static_argnames=("n_steps",)),
+        collect_n=jax.jit(collect_n, static_argnames=("n_frames", "thinning")),
+        collect_fields=("position", "potential_energy", "as_change"),
     )

@@ -38,6 +38,97 @@ class Kernel:
     # asss.py::step_n — shrinkage trips pipeline across chains).  Runners
     # use it instead of n× ``step`` when present.
     step_n: Any = None
+    # Optional pipelined thinned-draw collector
+    # ``collect_n(state, n_frames, thinning) -> (state, {field: (C, F, ...)})``:
+    # advances every chain by ``n_frames*thinning`` transitions like
+    # ``step_n`` and scatters each chain's every-``thinning``-th completed
+    # position (plus per-kernel extras) into a preallocated buffer AS the
+    # chain completes it.  This removes the per-frame max-over-chains sync
+    # barrier a scan-of-step_n collect loop pays: chains record draws at
+    # their own pace and only the call boundary synchronises.
+    collect_n: Any = None
+    # Field names ``collect_n`` buffers (runners fall back to the scan
+    # collect loop when they need a field not listed here).
+    collect_fields: tuple = ()
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free pipelined thinned-draw recording (collect_n support).
+#
+# The obvious way to record per-chain thinned draws inside a pipelined
+# driver — ``buf.at[arange(C), frame_idx].set(vals)`` — lowers to an XLA
+# scatter, which the TPU backend executes as a serialized per-update loop:
+# measured ~300 µs/iteration at C=1600, 3x the whole NUTS leapfrog body.
+# Instead: each chain writes its completed frame into a small ring
+# (C, RING, ...) with a one-hot masked select (dense, vectorizes on the
+# VPU), and every iteration the newest frame that ALL chains have passed
+# is flushed to the (C, F, ...) output with ONE scalar-index
+# dynamic_update_slice (dense, in-place).  Chains more than RING-2 frames
+# ahead of the slowest are frozen by the driver until the flush head
+# catches up — they stall on the call-boundary barrier anyway, so bounded
+# drift costs no wall-clock.
+#
+# Determinism note: with a body-unroll factor K=1 the freeze/resume is
+# bitwise identical to the never-frozen step_n trajectory (each loop
+# iteration materialises the carry, so a resumed chain recomputes from
+# exactly the values it froze with).  With K>1 XLA fuses the unrolled
+# bodies and the freeze select changes fusion/FMA contraction across the
+# sub-body boundary, so resumed chains can pick up 1-ulp rounding
+# differences — statistically identical, asserted so in the kernels'
+# production-unroll tests.
+# ---------------------------------------------------------------------------
+
+RING = 8  # live ring window (usable drift: RING - 2 frames)
+
+
+def recorder_init(n_chains: int, n_frames: int, field_shapes: dict):
+    """(ring, out) buffer pytrees for ``field_shapes`` {name: trailing}."""
+    ring = {
+        k: jnp.zeros((n_chains, RING) + s) for k, s in field_shapes.items()
+    }
+    out = {
+        k: jnp.zeros((n_chains, n_frames) + s)
+        for k, s in field_shapes.items()
+    }
+    return ring, out
+
+
+def recorder_drift_ok(done: Array, thinning: int) -> Array:
+    """Chains may only run while their next frame write stays strictly
+    inside the live ring window behind the flush head."""
+    w_min = jnp.min(done) // thinning
+    return done // thinning < w_min + (RING - 1)
+
+
+def recorder_write(ring: dict, done_before: Array, done: Array,
+                   thinning: int, values: dict) -> dict:
+    """Record ``values`` for chains that just crossed a frame boundary
+    (``done`` moves by at most 1 per call, so at most one boundary)."""
+    wrote = (done > done_before) & ((done % thinning) == 0)
+    fi = done // thinning - 1
+    oh = wrote[:, None] & (
+        jnp.arange(RING)[None, :] == (fi % RING)[:, None]
+    )  # (C, RING)
+    new = {}
+    for k, r in ring.items():
+        m = oh.reshape(oh.shape + (1,) * (r.ndim - 2))
+        new[k] = jnp.where(m, values[k][:, None], r)
+    return new
+
+
+def recorder_flush(ring: dict, out: dict, done: Array, thinning: int,
+                   n_frames: int) -> dict:
+    """Flush the newest globally-complete frame (idempotent: the flush
+    head advances by at most one frame per iteration and each frame is
+    re-flushed until the head moves past it)."""
+    w = jnp.min(done) // thinning
+    f = jnp.clip(w - 1, 0, max(n_frames - 1, 0))
+    new = {}
+    for k, r in ring.items():
+        val = jax.lax.dynamic_index_in_dim(r, f % RING, axis=1)  # (C,1)+s
+        idx = (0, f) + (0,) * (r.ndim - 2)
+        new[k] = jax.lax.dynamic_update_slice(out[k], val, idx)
+    return new
 
 
 def nan_to_inf(pe: Array) -> Array:

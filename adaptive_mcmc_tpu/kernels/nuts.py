@@ -39,6 +39,10 @@ from adaptive_mcmc_tpu.kernels.base import (
     Kernel,
     batch_positions,
     nan_to_inf,
+    recorder_drift_ok,
+    recorder_flush,
+    recorder_init,
+    recorder_write,
     split_keys,
 )
 
@@ -775,9 +779,19 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             esg=jnp.where(gr, eps, -eps),
         )
 
-    def step_n(state: NUTSState, n_steps: int) -> NUTSState:
+    def _drive(state: NUTSState, n_steps: int, n_frames: int, thinning: int):
         """Advance every chain by exactly ``n_steps`` NUTS transitions with
         tree building PIPELINED across chains.
+
+        With ``n_frames > 0`` additionally records each chain's every
+        ``thinning``-th completed position (and potential energy) into a
+        preallocated ``(C, n_frames, ...)`` buffer AS that chain completes
+        the transition — the pipelined-collect path (``collect_n``).  A
+        scan-of-step_n collect loop syncs all chains at every frame
+        boundary (each frame costs the max-over-chains tree work for
+        ``thinning`` transitions); here the only barrier is the call
+        boundary, so the straggler tail is paid once per call instead of
+        once per frame.
 
         The lockstep ``step`` runs vmapped while-loops, so every doubling
         waits for the slowest chain's subtree and every transition costs
@@ -1029,14 +1043,48 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
 
         zero_i = jnp.zeros((C,), jnp.int32)
         K = max(1, config.pipeline_unroll)
+        F = n_frames
+        ring0, out0 = recorder_init(
+            C, F, {"position": (d,), "potential_energy": ()}
+        )
 
-        def body_unrolled(p: _Pipe) -> _Pipe:
+        def cond2(c):
+            return cond(c[0])
+
+        def body2(c):
+            p, ring, out = c
             for _ in range(K):
-                p = body(p)
-            return p
+                if F > 0:
+                    # Chains whose next write would leave the live ring
+                    # window are frozen wholesale (every _Pipe leaf is
+                    # per-chain); their key stream pauses with them, so
+                    # the resumed trajectory is bitwise the step_n one.
+                    frozen = ~recorder_drift_ok(p.done, thinning) & (
+                        p.done < n_steps
+                    )
+                    before = p.done
+                    p_new = body(p)
+                    p = jax.tree.map(
+                        lambda old, new: jnp.where(
+                            frozen.reshape(
+                                frozen.shape + (1,) * (new.ndim - 1)
+                            ),
+                            old, new,
+                        ),
+                        p, p_new,
+                    )
+                    ring = recorder_write(
+                        ring, before, p.done, thinning,
+                        {"position": p.x, "potential_energy": p.pe},
+                    )
+                    out = recorder_flush(ring, out, p.done, thinning, F)
+                else:
+                    p = body(p)
+            return (p, ring, out)
 
-        p = lax.while_loop(cond, body_unrolled, p0)
-        return NUTSState(
+        p, _, out = lax.while_loop(cond2, body2, (p0, ring0, out0))
+        bx, bpe = out["position"], out["potential_energy"]
+        final = NUTSState(
             i=state.i + n_steps,
             position=p.x,
             potential_energy=p.pe,
@@ -1050,6 +1098,13 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             ),
             rng_key=p.keys,
         )
+        return final, {"position": bx, "potential_energy": bpe}
+
+    def step_n(state: NUTSState, n_steps: int) -> NUTSState:
+        return _drive(state, n_steps, 0, 1)[0]
+
+    def collect_n(state: NUTSState, n_frames: int, thinning: int = 1):
+        return _drive(state, n_frames * thinning, n_frames, thinning)
 
     return Kernel(
         name="nuts",
@@ -1062,4 +1117,10 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             if config.pipeline
             else None
         ),
+        collect_n=(
+            jax.jit(collect_n, static_argnames=("n_frames", "thinning"))
+            if config.pipeline
+            else None
+        ),
+        collect_fields=("position", "potential_energy"),
     )

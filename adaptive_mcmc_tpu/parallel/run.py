@@ -123,6 +123,14 @@ def run_mcmc_sharded(
     # interleave across chains) advance via step_n; others run the plain
     # lockstep fori of step.
     step_n = getattr(kernel, "step_n", None)
+    # Kernels with a pipelined collector record thinned draws *inside* the
+    # driver (one straggler barrier per call instead of per frame).
+    collect_n = getattr(kernel, "collect_n", None)
+    if collect_n is not None and not (
+        {sample_field, *extra_fields}
+        <= set(getattr(kernel, "collect_fields", ()))
+    ):
+        collect_n = None  # a requested field isn't buffered by the kernel
 
     from functools import partial as _partial
 
@@ -185,7 +193,15 @@ def run_mcmc_sharded(
     collected_frames = 0
     while collected_frames < num_collect:
         todo = min(frames_per_call, num_collect - collected_frames)
-        state, out = _collect(state, todo)
+        if collect_n is not None:
+            state, bufs = collect_n(state, n_frames=todo, thinning=thinning)
+            # (C, F, ...) chain-paced buffers -> the scan layout (F, C, ...)
+            out = {
+                f: jnp.moveaxis(bufs[f], 0, 1)
+                for f in (sample_field, *extra_fields)
+            }
+        else:
+            state, out = _collect(state, todo)
         jax.block_until_ready(state.position)
         chunks.append(out)
         collected_frames += todo

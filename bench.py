@@ -22,12 +22,18 @@ import jax.numpy as jnp
 
 from adaptive_mcmc_tpu import ARWMHConfig, ASSSConfig, arwmh, asss, models
 from adaptive_mcmc_tpu.kernels.nuts import NUTSConfig, nuts
+from adaptive_mcmc_tpu.kernels.sa import SAConfig, sa
 
 # Reference rates (single chain, author's laptop CPU; BASELINE.md).
 BASE_ARWMH_ES = 55_700.0   # eight-schools ARWMH, ipynb cell 28
 BASE_ASSS_ES = 42_400.0    # eight-schools ASSS, cell 29
 BASE_NUTS_ES = 10_400.0    # eight-schools NUTS, cell 27
 BASE_ASSS_DIAMONDS = 3_672.0  # diamonds ASSS, diamonds ipynb cell 51
+# The reference exposes SA only as a kernel baseline and never records a
+# rate for it (numpyro_kernels.py:16-73, no notebook cell) — the SA extra's
+# vs_baseline divides by the closest recorded baseline (ASSS eight-schools),
+# flagged in the metric's baseline_note.
+BASE_SA_PROXY = BASE_ASSS_ES
 
 
 def time_kernel(kernel, n_chains, *, warmup_steps, timed_steps, n_blocks=3,
@@ -96,6 +102,10 @@ def main() -> None:
             asss(diamonds, ASSSConfig(num_warmup=0)), 1024,
             warmup_steps=300, timed_steps=300,
         )
+        sa_rate = time_kernel(
+            sa(es, SAConfig()), 1024,
+            warmup_steps=300, timed_steps=300,
+        )
 
     extras = [
         {"metric": "asss_eight_schools_4096chains",
@@ -107,6 +117,11 @@ def main() -> None:
         {"metric": "asss_diamonds_1024chains",
          "value": round(asss_dia_rate, 1), "unit": "chain_iters_per_sec",
          "vs_baseline": round(asss_dia_rate / BASE_ASSS_DIAMONDS, 2)},
+        {"metric": "sa_eight_schools_1024chains",
+         "value": round(sa_rate, 1), "unit": "chain_iters_per_sec",
+         "vs_baseline": round(sa_rate / BASE_SA_PROXY, 2),
+         "baseline_note": "no reference-recorded SA rate; ratio uses the "
+                          "reference ASSS eight-schools rate as proxy"},
     ]
     print(
         json.dumps(

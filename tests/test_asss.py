@@ -161,3 +161,91 @@ def test_step_n_single_step_invariance():
     out = k.step_n(state, 1)
     ks = scipy.stats.kstest(np.asarray(out.position[:, 0]), "norm")
     assert ks.pvalue > 1e-3, ks
+
+
+def test_collect_n_matches_step_n():
+    """collect_n runs the SAME body sequence as one step_n call: the final
+    state must be bitwise equal and the buffered frames must be the
+    per-chain thinned trajectory (last frame == final position)."""
+    t = models.eight_schools_noncentered()
+    k = asss(t, ASSSConfig(num_warmup=10))
+    state = k.init(jax.random.PRNGKey(3), n_chains=8)
+    state = k.step_n(state, 10)  # through warmup
+
+    want = k.step_n(state, 20)
+    got, bufs = k.collect_n(state, n_frames=4, thinning=5)
+
+    np.testing.assert_array_equal(
+        np.asarray(want.position), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(want.adapt_state.loc), np.asarray(got.adapt_state.loc)
+    )
+    assert bufs["position"].shape == (8, 4, 10)
+    assert bufs["potential_energy"].shape == (8, 4)
+    assert bufs["as_change"].shape == (8, 4)
+    # the last recorded frame IS the final state (chains stop at n_steps)
+    np.testing.assert_array_equal(
+        np.asarray(bufs["position"][:, -1]), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs["potential_energy"][:, -1]),
+        np.asarray(got.potential_energy),
+    )
+    assert np.isfinite(np.asarray(bufs["position"])).all()
+
+
+def test_collect_n_drift_window_engages():
+    """With n_frames >> RING the drift bound must freeze/resume chains
+    without changing the trajectory: final state still bitwise equals
+    one step_n call over the same transition count.
+
+    Pinned to pipeline_unroll=1: with K>1 XLA fuses the unrolled body
+    pair differently around the freeze select, so resumed chains pick up
+    1-ulp rounding differences vs the never-frozen step_n program
+    (statistically identical, not bitwise — see the production-config
+    structural test below)."""
+    t = models.eight_schools_noncentered()
+    k = asss(t, ASSSConfig(num_warmup=20, pipeline_unroll=1))
+    state = k.init(jax.random.PRNGKey(9), n_chains=8)
+    state = k.step_n(state, 20)
+
+    want = k.step_n(state, 120)
+    got, bufs = k.collect_n(state, n_frames=60, thinning=2)
+    np.testing.assert_array_equal(
+        np.asarray(want.position), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs["position"][:, -1]), np.asarray(got.position)
+    )
+    assert np.isfinite(np.asarray(bufs["position"])).all()
+    # interior frames must be real draws, not unflushed zeros
+    assert not (np.asarray(bufs["position"]) == 0.0).all(axis=-1).any()
+
+
+def test_collect_n_drift_production_unroll():
+    """Production config (default pipeline_unroll): freeze/resume under
+    drift pressure must stay structurally sound — last frame IS the
+    final state (same program, exact), every frame flushed and finite,
+    and the draw distribution matches step_n's statistically."""
+    import scipy.stats
+
+    t = models.eight_schools_noncentered()
+    k = asss(t, ASSSConfig(num_warmup=20))
+    state = k.init(jax.random.PRNGKey(9), n_chains=8)
+    state = k.step_n(state, 20)
+
+    want = k.step_n(state, 120)
+    got, bufs = k.collect_n(state, n_frames=60, thinning=2)
+    np.testing.assert_array_equal(
+        np.asarray(bufs["position"][:, -1]), np.asarray(got.position)
+    )
+    pos = np.asarray(bufs["position"])
+    assert np.isfinite(pos).all()
+    assert not (pos == 0.0).all(axis=-1).any()
+    # 1-ulp freeze-select rounding decorrelates trajectories over 120
+    # chaotic transitions, so compare distributions, not points
+    ks = scipy.stats.ks_2samp(
+        pos[..., 0].ravel(), np.asarray(want.position)[:, 0]
+    )
+    assert ks.pvalue > 1e-4, ks

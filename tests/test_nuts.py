@@ -252,3 +252,53 @@ def test_step_n_frozen_kernel_invariance():
     pooled = np.asarray(out.position).reshape(-1)
     ks = scipy.stats.kstest(pooled, "norm")
     assert ks.pvalue > 1e-3, ks
+
+
+def test_collect_n_matches_step_n():
+    """collect_n shares step_n's body sequence: bitwise-equal final state,
+    buffers hold the per-chain thinned trajectory."""
+    t = models.eight_schools_noncentered()
+    k = nuts(t, NUTSConfig(num_warmup=20))
+    state = k.init(jax.random.PRNGKey(5), n_chains=6)
+    state = k.step_n(state, 20)  # through warmup
+
+    want = k.step_n(state, 12)
+    got, bufs = k.collect_n(state, n_frames=4, thinning=3)
+
+    np.testing.assert_array_equal(
+        np.asarray(want.position), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(want.potential_energy), np.asarray(got.potential_energy)
+    )
+    assert bufs["position"].shape == (6, 4, 10)
+    assert bufs["potential_energy"].shape == (6, 4)
+    np.testing.assert_array_equal(
+        np.asarray(bufs["position"][:, -1]), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs["potential_energy"][:, -1]),
+        np.asarray(got.potential_energy),
+    )
+    assert np.isfinite(np.asarray(bufs["position"])).all()
+
+
+def test_collect_n_drift_window_engages():
+    """n_frames >> RING: drift-frozen chains must resume bitwise (the
+    freeze wrapper restores every _Pipe leaf, so the resumed stream is
+    the step_n one)."""
+    t = models.eight_schools_noncentered()
+    k = nuts(t, NUTSConfig(num_warmup=30))
+    state = k.init(jax.random.PRNGKey(13), n_chains=8)
+    state = k.step_n(state, 30)
+
+    want = k.step_n(state, 120)
+    got, bufs = k.collect_n(state, n_frames=60, thinning=2)
+    np.testing.assert_array_equal(
+        np.asarray(want.position), np.asarray(got.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bufs["position"][:, -1]), np.asarray(got.position)
+    )
+    assert np.isfinite(np.asarray(bufs["position"])).all()
+    assert not (np.asarray(bufs["position"]) == 0.0).all(axis=-1).any()
