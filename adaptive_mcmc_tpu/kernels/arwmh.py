@@ -50,6 +50,14 @@ class ARWMHConfig:
     num_warmup: int = 0
     adapt: bool = True          # False freezes loc/scale/step-size (plain RWM
                                 # with a fixed Cholesky proposal)
+    # Fused whole-step Pallas driver (ops/pallas/arwmh_fused.py): the whole
+    # transition loop runs in ONE kernel with the state resident in VMEM —
+    # no per-step dispatch, no HBM round-trips.  None = auto: enabled on
+    # TPU backends for adaptive kernels on small-d targets (the in-kernel
+    # likelihood keeps its data resident; large-N/d targets stay on the
+    # XLA path).  Its PRNG streams differ from the lockstep step's
+    # jax.random streams — statistically identical, not bitwise.
+    fused: Optional[bool] = None
 
 
 class ARWMHAdaptState(NamedTuple):
@@ -154,6 +162,64 @@ def arwmh(target, config: ARWMHConfig = ARWMHConfig()) -> Kernel:
             rng_key=keys,
         )
 
+    # ---- fused whole-step Pallas driver (step_n / collect_n) -----------
+    use_fused = config.fused
+    if use_fused is None:
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and config.adapt
+            and d <= 16  # keep large-d targets (diamonds) on the XLA path
+        )
+    step_n = collect_n = None
+    if use_fused:
+        from adaptive_mcmc_tpu.ops.pallas.arwmh_fused import (
+            build_fused_arwmh,
+        )
+
+        drive = build_fused_arwmh(target, config)
+
+        def _seed_of(state: ARWMHState) -> Array:
+            """Distinct core-PRNG stream per (init key, call position)."""
+            kd = state.rng_key
+            if jax.dtypes.issubdtype(kd.dtype, jax.dtypes.prng_key):
+                kd = jax.random.key_data(kd)
+            return kd.reshape(-1)[0].astype(jnp.int32) ^ state.i
+
+        def _as_tuple(state: ARWMHState):
+            a = state.adapt_state
+            return (state.position, state.potential_energy,
+                    state.mean_accept_prob, a.loc, a.scale,
+                    a.log_step_size, state.i)
+
+        def _from_tuple(new, rng_key) -> ARWMHState:
+            return ARWMHState(
+                i=new[6],
+                position=new[0],
+                potential_energy=new[1],
+                mean_accept_prob=new[2],
+                adapt_state=ARWMHAdaptState(new[3], new[4], new[5]),
+                as_change=new[7],
+                rng_key=rng_key,
+            )
+
+        def step_n(state: ARWMHState, n_steps: int) -> ARWMHState:
+            new, _ = drive(
+                _as_tuple(state), n_steps, 0, 1, seed=_seed_of(state)
+            )
+            return _from_tuple(new, state.rng_key)
+
+        def collect_n(state: ARWMHState, n_frames: int, thinning: int = 1):
+            new, frames = drive(
+                _as_tuple(state), n_frames * thinning, n_frames, thinning,
+                seed=_seed_of(state),
+            )
+            return _from_tuple(new, state.rng_key), frames
+
+        step_n = jax.jit(step_n, static_argnames=("n_steps",))
+        collect_n = jax.jit(
+            collect_n, static_argnames=("n_frames", "thinning")
+        )
+
     return Kernel(
         name="arwmh",
         target=target,
@@ -163,6 +229,12 @@ def arwmh(target, config: ARWMHConfig = ARWMHConfig()) -> Kernel:
         # scan/jit the wrapper is inlined at trace time.
         init=jax.jit(init, static_argnames=("n_chains",)),
         step=jax.jit(step),
+        step_n=step_n,
+        collect_n=collect_n,
+        collect_fields=(
+            ("position", "potential_energy", "as_change")
+            if use_fused else ()
+        ),
     )
 
 
