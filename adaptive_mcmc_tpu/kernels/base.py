@@ -93,6 +93,51 @@ def recorder_init(n_chains: int, n_frames: int, field_shapes: dict):
     return ring, out
 
 
+def recorder_init_cl(n_chains: int, n_frames: int, field_shapes: dict):
+    """Chains-LAST (ring, out) buffers: ring (RING,)+s+(C,), out
+    (F,)+s+(C,).  For drivers whose internal layout rides chains on the
+    TPU lane axis (see kernels/nuts.py): the per-trip one-hot write then
+    touches (RING, d, C) tiles with C on lanes instead of a (C, RING, d)
+    block whose d-minor axis pads to 128 lanes."""
+    ring = {
+        k: jnp.zeros((RING,) + s + (n_chains,))
+        for k, s in field_shapes.items()
+    }
+    out = {
+        k: jnp.zeros((n_frames,) + s + (n_chains,))
+        for k, s in field_shapes.items()
+    }
+    return ring, out
+
+
+def recorder_write_cl(ring: dict, done_before: Array, done: Array,
+                      thinning: int, values: dict) -> dict:
+    """Chains-last twin of :func:`recorder_write`."""
+    wrote = (done > done_before) & ((done % thinning) == 0)    # (C,)
+    fi = done // thinning - 1
+    oh = wrote[None, :] & (
+        jnp.arange(RING)[:, None] == (fi % RING)[None, :]
+    )  # (RING, C)
+    new = {}
+    for k, r in ring.items():
+        m = oh.reshape((RING,) + (1,) * (r.ndim - 2) + oh.shape[1:])
+        new[k] = jnp.where(m, values[k][None], r)
+    return new
+
+
+def recorder_flush_cl(ring: dict, out: dict, done: Array, thinning: int,
+                      n_frames: int) -> dict:
+    """Chains-last twin of :func:`recorder_flush`."""
+    w = jnp.min(done) // thinning
+    f = jnp.clip(w - 1, 0, max(n_frames - 1, 0))
+    new = {}
+    for k, r in ring.items():
+        val = jax.lax.dynamic_index_in_dim(r, f % RING, axis=0)
+        idx = (f,) + (0,) * (r.ndim - 1)
+        new[k] = jax.lax.dynamic_update_slice(out[k], val, idx)
+    return new
+
+
 def recorder_drift_ok(done: Array, thinning: int) -> Array:
     """Chains may only run while their next frame write stays strictly
     inside the live ring window behind the flush head."""

@@ -40,9 +40,9 @@ from adaptive_mcmc_tpu.kernels.base import (
     batch_positions,
     nan_to_inf,
     recorder_drift_ok,
-    recorder_flush,
-    recorder_init,
-    recorder_write,
+    recorder_flush_cl,
+    recorder_init_cl,
+    recorder_write_cl,
     split_keys,
 )
 
@@ -639,66 +639,120 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
         )
 
     # -- pipelined multi-step driver ----------------------------------------
-    # Batched (not vmapped) helpers: leading (C,) chains axis everywhere.
+    # Chains-LAST batched helpers: the d (or (max_depth, d)) axes lead and
+    # chains ride the 128-wide TPU lane axis.  A (C, d) layout puts d
+    # minor, which pads 10 -> 128 lanes on TPU — every op on the
+    # (C, max_depth, d) checkpoint stacks then moves ~13x its logical
+    # bytes.  With chains last, every per-trip elementwise op is a dense
+    # lane-wide tile; at ~10 leapfrogs per transition and ~200k pipelined
+    # trips per eight-schools sweep this dominates the NUTS wall.
 
-    batched_potential_vg = jax.vmap(potential_vg)
+    def _pe_cl(X):
+        """Batched potential, chains-last: (d, C) -> (C,)."""
+        return jax.vmap(target.potential_fn, in_axes=1)(X)
 
-    def _bvel(inv_mass, r):
-        """v = M^-1 r, batched; inv_mass (C, d) diag or (C, d, d) dense."""
+    def _pot_vg_cl(X):
+        """(pe, grad) of the summed potential — one vjp for the whole
+        chain batch instead of a vmapped per-chain value_and_grad."""
+        pe, vjp = jax.vjp(_pe_cl, X)
+        return pe, vjp(jnp.ones_like(pe))[0]
+
+    def _cvel(inv_mass, r):
+        """v = M^-1 r; inv_mass (d, C) diag or (d, d, C) dense; r (d, C)."""
         if inv_mass.ndim == 2:
             return inv_mass * r
-        return jnp.einsum("cij,cj->ci", inv_mass, r)
+        return jnp.einsum("ijc,jc->ic", inv_mass, r)
 
-    def _bvel_rows(inv_mass, R):
-        """v_k = M^-1 r_k for per-chain momentum stacks R (C, D, d)."""
+    def _cvel_rows(inv_mass, R):
+        """v_k = M^-1 r_k for checkpoint stacks R (max_depth, d, C)."""
         if inv_mass.ndim == 2:
-            return inv_mass[:, None, :] * R
-        return jnp.einsum("cij,ckj->cki", inv_mass, R)
+            return inv_mass[None] * R
+        return jnp.einsum("ijc,kjc->kic", inv_mass, R)
 
-    def _bkin(inv_mass, r):
-        return 0.5 * jnp.sum(r * _bvel(inv_mass, r), axis=-1)
+    def _ckin(inv_mass, r):
+        return 0.5 * jnp.sum(r * _cvel(inv_mass, r), axis=0)
 
-    def _bmom(keys, chol_inv_mass):
-        eps = jax.vmap(lambda k: jax.random.normal(k, (d,)))(keys)
+    def _cmom(n01, chol_inv_mass):
+        """r ~ N(0, M) from standard normals n01 (d, C); chol_inv_mass is
+        chol(M^-1): (d, C) sqrt-diag or (d, d, C) lower."""
         if chol_inv_mass.ndim == 2:
-            return eps / chol_inv_mass
+            return n01 / chol_inv_mass
         return jax.vmap(
             lambda L, e: jax.scipy.linalg.solve_triangular(
                 L.T, e, lower=False
-            )
-        )(chol_inv_mass, eps)
+            ),
+            in_axes=(2, 1), out_axes=1,
+        )(chol_inv_mass, n01)
 
-    def _bleapfrog(z, r, grad, eps_signed, inv_mass):
-        e = eps_signed[:, None]
+    def _cleapfrog(z, r, grad, eps_signed, inv_mass):
+        e = eps_signed[None, :]
         r = r - 0.5 * e * grad
-        z = z + e * _bvel(inv_mass, r)
-        pe, g = batched_potential_vg(z)
+        z = z + e * _cvel(inv_mass, r)
+        pe, g = _pot_vg_cl(z)
         pe = nan_to_inf(pe)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         r = r - 0.5 * e * g
         return z, r, pe, g
 
-    def _bwelford_update(w: WelfordState, x):
+    def _cwelford_update(w: WelfordState, x):
+        """x (d, C); w.mean/(diag m2) (d, C), dense m2 (d, d, C)."""
         c = w.count + 1.0
         delta = x - w.mean
-        mean = w.mean + delta / c[:, None]
+        mean = w.mean + delta / c[None, :]
         if config.dense_mass:
-            m2 = w.m2 + jnp.einsum("ci,cj->cij", delta, x - mean)
+            m2 = w.m2 + jnp.einsum("ic,jc->ijc", delta, x - mean)
         else:
             m2 = w.m2 + delta * (x - mean)
         return WelfordState(c, mean, m2)
 
+    def _cwelford_finalize(w: WelfordState):
+        """Chains-last twin of _welford_finalize."""
+        c = jnp.maximum(w.count, 2.0)                      # (C,)
+        shrink = c / (c + 5.0)
+        if config.dense_mass:
+            cov = w.m2 / (c - 1.0)[None, None, :]
+            cov = shrink * cov + 1e-3 * (1.0 - shrink) * jnp.eye(d)[
+                :, :, None
+            ]
+            chol = jax.vmap(jnp.linalg.cholesky, in_axes=2, out_axes=2)(cov)
+            ok = ~jnp.any(jnp.isnan(chol), axis=(0, 1))    # (C,)
+            eye = jnp.broadcast_to(jnp.eye(d)[:, :, None], cov.shape)
+            cov = jnp.where(ok[None, None, :], cov, eye)
+            chol = jnp.where(ok[None, None, :], chol, eye)
+            return cov, chol
+        cov = w.m2 / (c - 1.0)[None, :]
+        cov = shrink[None, :] * cov + 1e-3 * (1.0 - shrink)[None, :]
+        cov = jnp.where(cov > 0, cov, 1.0)
+        return cov, jnp.sqrt(cov)
+
+    def _cfresh_welford(C):
+        if config.dense_mass:
+            m2 = jnp.zeros((d, d, C))
+        else:
+            m2 = jnp.zeros((d, C))
+        return WelfordState(jnp.zeros((C,)), jnp.zeros((d, C)), m2)
+
     def _sel(mask, new, old):
-        """Per-chain select; mask (C,) broadcasts over trailing dims."""
-        m = mask.reshape(mask.shape + (1,) * (new.ndim - mask.ndim))
+        """Per-chain select; mask (C,) broadcasts over LEADING dims
+        (chains-last layouts)."""
+        m = mask.reshape((1,) * (new.ndim - 1) + mask.shape)
+        return jnp.where(m, new, old)
+
+    def _sel_keys(mask, new, old):
+        """Select for the (C, 2) / typed-(C,) key leaves (chains FIRST)."""
+        m = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
         return jnp.where(m, new, old)
 
     class _Pipe(NamedTuple):
-        """Per-chain NUTS machine: chain state + open tree + open subtree."""
+        """Per-chain NUTS machine: chain state + open tree + open subtree.
+
+        All d-vector leaves are chains-last (d, C); checkpoint stacks are
+        (max_depth, d, C); scalars (C,).  ``keys`` alone stays chains-first
+        ((C, 2) raw / (C,) typed) — it is consumed by vmapped splits."""
 
         keys: Array
         done: Array          # (C,) transitions completed this call
-        x: Array             # (C, d) accepted position
+        x: Array             # (d, C) accepted position
         pe: Array
         grad: Array
         mean_ap: Array
@@ -737,7 +791,7 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
         sgp: Array
         slw: Array
         srs: Array
-        rck: Array           # (C, max_depth, d)
+        rck: Array           # (max_depth, d, C)
         sck: Array
         sturn: Array
         sdiv: Array
@@ -754,15 +808,31 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             )
         return jnp.exp(da.log_eps)
 
-    def _fresh_tree(k_mom, k_dir, x, pe, grad, da, inv_mass, chol, i_glob):
+    _SQRT2 = 1.4142135623730951
+    _U_LO = -0.99999994  # nextafter(-1, 0) in f32: keeps erfinv finite
+
+    def _trip_draws(k_draw):
+        """ALL per-trip randomness from ONE batched threefry invocation:
+        (u_acc, u_bias, dir bernoulli, momentum normals (d, C)).  The old
+        path spent 5 vmapped RNG invocations per trip (split + 2 uniforms
+        + bernoulli + normal), each a full ~27-op threefry sequence —
+        roughly half the per-trip op count for randomness alone."""
+        U = jax.vmap(lambda k: jax.random.uniform(k, (3 + d,)))(k_draw)
+        UT = U.T                                            # (3+d, C)
+        n01 = _SQRT2 * jax.scipy.special.erfinv(
+            jnp.maximum(2.0 * UT[3:] - 1.0, _U_LO)
+        )
+        return UT[0], UT[1], UT[2] < 0.5, n01
+
+    def _fresh_tree(n01, gr, x, pe, grad, da, inv_mass, chol, i_glob):
         """Everything a chain needs to open transition i_glob from (x, pe,
-        grad): momentum draw, initial tree, first depth-0 subtree."""
-        C = x.shape[0]
+        grad): momentum from the trip's normals, initial tree, first
+        depth-0 subtree.  Chains-last."""
+        C = x.shape[1]
         eps = _trans_eps(da, i_glob)
-        r0 = _bmom(k_mom, chol)
-        e0 = pe + _bkin(inv_mass, r0)
-        gr = jax.vmap(jax.random.bernoulli)(k_dir)
-        zeros_ck = jnp.zeros((C, max_depth, d))
+        r0 = _cmom(n01, chol)
+        e0 = pe + _ckin(inv_mass, r0)
+        zeros_ck = jnp.zeros((max_depth, d, C))
         return dict(
             eps=eps, energy0=e0,
             tzl=x, trl=r0, tgl=grad, tzr=x, trr=r0, tgr=grad,
@@ -772,7 +842,7 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             sgr=gr, sn=jnp.zeros((C,), jnp.int32),
             snl=jnp.ones((C,), jnp.int32),
             sz=x, sr=r0, sg=grad, szp=x, spep=pe, sgp=grad,
-            slw=jnp.full((C,), -jnp.inf), srs=jnp.zeros((C, d)),
+            slw=jnp.full((C,), -jnp.inf), srs=jnp.zeros((d, C)),
             rck=zeros_ck, sck=zeros_ck,
             sturn=jnp.zeros((C,), bool), sdiv=jnp.zeros((C,), bool),
             sacc=jnp.zeros((C,)),
@@ -806,7 +876,8 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
         transition starts the next one immediately instead of idling until
         the slowest tree closes; the only sync point is this call's
         boundary.  Transition semantics are identical to ``step``; per-chain
-        RNG streams differ only in split order."""
+        RNG streams differ only in draw structure (one batched uniform
+        block per trip instead of per-use splits)."""
         C = state.position.shape[0]
         i0 = state.i
         adapt = state.adapt_state
@@ -815,20 +886,33 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             config.adapt_step_size or config.adapt_mass_matrix
         )
 
-        k_keys, k_mom0, k_dir0 = split_keys(state.rng_key, 3)
+        def _t_in(a):
+            """Public chains-first array -> internal chains-last."""
+            return jnp.moveaxis(a, 0, -1)
+
+        inv_mass0 = _t_in(adapt.inv_mass)
+        chol0 = _t_in(adapt.chol_inv_mass)
+        wf0 = WelfordState(
+            adapt.welford.count, _t_in(adapt.welford.mean),
+            _t_in(adapt.welford.m2),
+        )
+
+        k_keys, k_draw0 = split_keys(state.rng_key, 2)
+        _, _, gr0, n01_0 = _trip_draws(k_draw0)
         zero_i = jnp.zeros((C,), jnp.int32)
         fresh0 = _fresh_tree(
-            k_mom0, k_dir0, state.position, state.potential_energy,
-            state.pe_grad, adapt.da, adapt.inv_mass, adapt.chol_inv_mass,
+            n01_0, gr0, state.position.T, state.potential_energy,
+            state.pe_grad.T, adapt.da, inv_mass0, chol0,
             jnp.full((C,), i0, jnp.int32),
         )
         p0 = _Pipe(
             keys=k_keys, done=zero_i,
-            x=state.position, pe=state.potential_energy, grad=state.pe_grad,
+            x=state.position.T, pe=state.potential_energy,
+            grad=state.pe_grad.T,
             mean_ap=state.mean_accept_prob, ns_last=state.num_steps,
             div_last=state.diverging,
-            da=adapt.da, inv_mass=adapt.inv_mass, chol=adapt.chol_inv_mass,
-            wf=adapt.welford, **fresh0,
+            da=adapt.da, inv_mass=inv_mass0, chol=chol0,
+            wf=wf0, **fresh0,
         )
 
         def cond(p: _Pipe):
@@ -836,18 +920,18 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
 
         def body(p: _Pipe) -> _Pipe:
             active = p.done < n_steps
-            k_next, k_acc, k_bias, k_dir, k_mom = split_keys(p.keys, 5)
-            keys = _sel(active, k_next, p.keys)
+            k_next, k_draw = split_keys(p.keys, 2)
+            keys = _sel_keys(active, k_next, p.keys)
+            u_acc, u_b, gr_draw, n01 = _trip_draws(k_draw)
 
             # — the one batched leapfrog of this iteration —
-            z, r, pe_l, g = _bleapfrog(p.sz, p.sr, p.sg, p.esg, p.inv_mass)
-            energy = pe_l + _bkin(p.inv_mass, r)
+            z, r, pe_l, g = _cleapfrog(p.sz, p.sr, p.sg, p.esg, p.inv_mass)
+            energy = pe_l + _ckin(p.inv_mass, r)
             energy = jnp.where(jnp.isnan(energy), jnp.inf, energy)
             delta = energy - p.energy0
             div_leaf = delta > max_delta
             lw_leaf = -energy
             slw = jnp.logaddexp(p.slw, lw_leaf)
-            u_acc = jax.vmap(jax.random.uniform)(k_acc)
             take = u_acc < jnp.exp(lw_leaf - slw)
             szp = _sel(take, z, p.szp)
             spep = _sel(take, pe_l, p.spep)
@@ -860,22 +944,22 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             is_even = (n % 2) == 0
             slot = slot_table[n]
             t = trail_table[n]
-            jd = jnp.arange(max_depth)[None, :]
-            onehot = ((jd == slot[:, None]) & is_even[:, None])[:, :, None]
-            rck = jnp.where(onehot, r[:, None, :], p.rck)
-            sck = jnp.where(onehot, p.srs[:, None, :], p.sck)
-            rho_all = srs[:, None, :] - sck
-            v_first = _bvel_rows(p.inv_mass, rck)
-            v_last = _bvel(p.inv_mass, r)
-            turn_all = (jnp.sum(v_first * rho_all, axis=-1) <= 0.0) | (
-                jnp.sum(rho_all * v_last[:, None, :], axis=-1) <= 0.0
-            )
+            jd = jnp.arange(max_depth)[:, None]                # (D, 1)
+            onehot = ((jd == slot[None, :]) & is_even[None, :])[:, None, :]
+            rck = jnp.where(onehot, r[None, :, :], p.rck)
+            sck = jnp.where(onehot, p.srs[None, :, :], p.sck)
+            rho_all = srs[None, :, :] - sck                    # (D, d, C)
+            v_first = _cvel_rows(p.inv_mass, rck)
+            v_last = _cvel(p.inv_mass, r)
+            turn_all = (jnp.sum(v_first * rho_all, axis=1) <= 0.0) | (
+                jnp.sum(rho_all * v_last[None, :, :], axis=1) <= 0.0
+            )                                                  # (D, C)
             sel_slots = (
-                (~is_even)[:, None]
-                & (jd <= slot[:, None])
-                & (jd > (slot - t)[:, None])
+                (~is_even)[None, :]
+                & (jd <= slot[None, :])
+                & (jd > (slot - t)[None, :])
             )
-            sturn = p.sturn | jnp.any(turn_all & sel_slots, axis=-1)
+            sturn = p.sturn | jnp.any(turn_all & sel_slots, axis=0)
             sdiv = p.sdiv | div_leaf
             sn = n + 1
 
@@ -883,7 +967,6 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             sub_done = active & ((sn >= p.snl) | sturn | sdiv)
             invalid = sturn | sdiv
             accept_p = jnp.exp(jnp.minimum(0.0, slw - p.tlw))
-            u_b = jax.vmap(jax.random.uniform)(k_bias)
             take_t = sub_done & (u_b < accept_p) & ~invalid
             tzp = _sel(take_t, szp, p.tzp)
             tpep = _sel(take_t, spep, p.tpep)
@@ -898,10 +981,10 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             tgr = _sel(mr, g, p.tgr)
             trs = _sel(sub_done, p.trs + srs, p.trs)
             tlw = _sel(sub_done, jnp.logaddexp(p.tlw, slw), p.tlw)
-            vl = _bvel(p.inv_mass, trl)
-            vr = _bvel(p.inv_mass, trr)
-            turning_full = (jnp.sum(vl * trs, axis=-1) <= 0.0) | (
-                jnp.sum(vr * trs, axis=-1) <= 0.0
+            vl = _cvel(p.inv_mass, trl)
+            vr = _cvel(p.inv_mass, trr)
+            turning_full = (jnp.sum(vl * trs, axis=0) <= 0.0) | (
+                jnp.sum(vr * trs, axis=0) <= 0.0
             )
             tturn = jnp.where(sub_done, invalid | turning_full, False)
             tdiv = jnp.where(sub_done, sdiv, False)
@@ -941,19 +1024,19 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
                         da_cand, da,
                     )
                 if config.adapt_mass_matrix:
-                    wf_cand = _bwelford_update(wf, x_new)
+                    wf_cand = _cwelford_update(wf, x_new)
                     wf = jax.tree.map(
                         lambda new, old: _sel(in_win, new, old), wf_cand, wf
                     )
 
                     def _close(args):
                         da, inv_mass, chol, wf = args
-                        inv_f, chol_f = jax.vmap(_welford_finalize)(wf)
+                        inv_f, chol_f = _cwelford_finalize(wf)
                         inv2 = _sel(win_end, inv_f, inv_mass)
                         chol2 = _sel(win_end, chol_f, chol)
                         wf2 = jax.tree.map(
                             lambda new, old: _sel(win_end, new, old),
-                            _fresh_welford(C), wf,
+                            _cfresh_welford(C), wf,
                         )
                         da2 = da
                         if config.adapt_step_size:
@@ -975,7 +1058,6 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
 
             # — continuing trees draw a direction and open the next
             #   subtree from the chosen edge —
-            gr_draw = jax.vmap(jax.random.bernoulli)(k_dir)
             edge_z = _sel(gr_draw, tzr, tzl)
             edge_r = _sel(gr_draw, trr, trl)
             edge_g = _sel(gr_draw, tgr, tgl)
@@ -983,7 +1065,7 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
             # — finished chains (except those done with the call) open the
             #   next transition from the finalized state —
             fresh = _fresh_tree(
-                k_mom, k_dir, x_new, pe_new, grad_new, da, inv_mass, chol,
+                n01, gr_draw, x_new, pe_new, grad_new, da, inv_mass, chol,
                 i0 + done,
             )
 
@@ -993,7 +1075,7 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
                 )
 
             zero_f = jnp.zeros((C,))
-            zero_ck = jnp.zeros((C, max_depth, d))
+            zero_ck = jnp.zeros((max_depth, d, C))
             neg_inf = jnp.full((C,), -jnp.inf)
             return _Pipe(
                 keys=keys, done=done,
@@ -1030,7 +1112,7 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
                 spep=pick3(fresh["spep"], zero_f, spep),
                 sgp=pick3(fresh["sgp"], edge_g, sgp),
                 slw=pick3(fresh["slw"], neg_inf, slw),
-                srs=pick3(fresh["srs"], jnp.zeros((C, d)), srs),
+                srs=pick3(fresh["srs"], jnp.zeros((d, C)), srs),
                 rck=pick3(fresh["rck"], zero_ck, rck),
                 sck=pick3(fresh["sck"], zero_ck, sck),
                 sturn=pick3(fresh["sturn"], jnp.zeros((C,), bool), sturn),
@@ -1044,7 +1126,7 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
         zero_i = jnp.zeros((C,), jnp.int32)
         K = max(1, config.pipeline_unroll)
         F = n_frames
-        ring0, out0 = recorder_init(
+        ring0, out0 = recorder_init_cl(
             C, F, {"position": (d,), "potential_energy": ()}
         )
 
@@ -1064,37 +1146,42 @@ def nuts(target, config: NUTSConfig = NUTSConfig()) -> Kernel:
                     )
                     before = p.done
                     p_new = body(p)
-                    p = jax.tree.map(
-                        lambda old, new: jnp.where(
-                            frozen.reshape(
-                                frozen.shape + (1,) * (new.ndim - 1)
-                            ),
-                            old, new,
-                        ),
-                        p, p_new,
-                    )
-                    ring = recorder_write(
+                    merged = {}
+                    for name, old_v, new_v in zip(_Pipe._fields, p, p_new):
+                        sel = _sel_keys if name == "keys" else _sel
+                        merged[name] = jax.tree.map(
+                            lambda o, nv, s=sel: s(frozen, o, nv),
+                            old_v, new_v,
+                        )
+                    p = _Pipe(**merged)
+                    ring = recorder_write_cl(
                         ring, before, p.done, thinning,
                         {"position": p.x, "potential_energy": p.pe},
                     )
-                    out = recorder_flush(ring, out, p.done, thinning, F)
+                    out = recorder_flush_cl(ring, out, p.done, thinning, F)
                 else:
                     p = body(p)
             return (p, ring, out)
 
         p, _, out = lax.while_loop(cond2, body2, (p0, ring0, out0))
-        bx, bpe = out["position"], out["potential_energy"]
+        bx = jnp.transpose(out["position"], (2, 0, 1))     # (C, F, d)
+        bpe = out["potential_energy"].T                    # (C, F)
         final = NUTSState(
             i=state.i + n_steps,
-            position=p.x,
+            position=p.x.T,
             potential_energy=p.pe,
-            pe_grad=p.grad,
+            pe_grad=p.grad.T,
             mean_accept_prob=p.mean_ap,
             num_steps=p.ns_last,
             diverging=p.div_last,
             adapt_state=NUTSAdaptState(
-                da=p.da, inv_mass=p.inv_mass, chol_inv_mass=p.chol,
-                welford=p.wf,
+                da=p.da,
+                inv_mass=jnp.moveaxis(p.inv_mass, -1, 0),
+                chol_inv_mass=jnp.moveaxis(p.chol, -1, 0),
+                welford=WelfordState(
+                    p.wf.count, jnp.moveaxis(p.wf.mean, -1, 0),
+                    jnp.moveaxis(p.wf.m2, -1, 0),
+                ),
             ),
             rng_key=p.keys,
         )
