@@ -40,12 +40,15 @@ from adaptive_mcmc_tpu.kernels.base import (
     batch_positions,
     nan_to_inf,
     recorder_drift_ok,
-    recorder_flush,
-    recorder_init,
-    recorder_write,
+    recorder_flush_cl,
+    recorder_init_cl,
+    recorder_write_cl,
     split_keys,
 )
-from adaptive_mcmc_tpu.ops.cholesky import adaptive_scale_update
+from adaptive_mcmc_tpu.ops.cholesky import (
+    adaptive_scale_update,
+    adaptive_scale_update_cl,
+)
 
 Array = jax.Array
 _TWO_PI = 6.283185307179586
@@ -264,10 +267,20 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
         finish all ``n_steps`` idle until stragglers catch up, a
         CLT-small tail for n_steps ≥ thinning).
 
+        Layout: everything inside the loop is chains-LAST — positions /
+        loc (d, C), sphere points (d+1, C), scale (d, d, C) with chains
+        riding the TPU lane axis (a (C, d) tile pads d=4..26 minor onto
+        128 lanes, a ~5-30x physical blow-up per op), the whitening solve
+        and proposal matvec unrolled over the static d axis, and ALL
+        per-trip randomness (bracket uniform, level, angle, d+1 velocity
+        normals via erfinv) drawn from ONE batched threefry block per
+        trip instead of the 7 per-use splits/draws of the chains-first
+        version.
+
         Transition semantics (bracket shrinkage, √d radius, pole guard,
         bail-out θ=0 at 50 trips, adaptation recursion + NaN guard,
         warmup-boundary clock reset) are identical to ``step``; per-chain
-        RNG streams differ only in split order.  Two evaluations the
+        RNG streams differ only in draw structure.  Two evaluations the
         lockstep path spends per transition are derived instead: the
         slice level reuses the stored U(x) (the projection round-trip
         U(x(z(x))) it replaces is the same quantity), and the landing
@@ -275,28 +288,70 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
         C = state.position.shape[0]
         i0 = state.i
 
-        def sigma_of(scale):
-            return (scale + config.eps * eye) * (d ** 0.5)
+        batched_potential_cl = jax.vmap(target.potential_fn, in_axes=1)
 
-        def begin(keys, x, pe, loc, sigma_sqrt):
-            """Fresh-transition draws (no potential evaluation)."""
-            k_next, kv, kt, k0 = split_keys(keys, 4)
-            z = stereographic_project(x, loc, sigma_sqrt)
-            pe_t = pe + d * jnp.log(1.0 - z[:, -1])
-            v = jax.vmap(lambda k: jax.random.normal(k, (d + 1,)))(kv)
-            v = v - jnp.sum(v * z, axis=-1, keepdims=True) * z
-            v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-            t_pe = pe_t - jnp.log(jax.vmap(jax.random.uniform)(kt))
-            theta = jax.vmap(jax.random.uniform)(k0) * _TWO_PI
-            return k_next, z, v, t_pe, theta, theta - _TWO_PI, theta
+        def sigma_of(scale):                   # (d, d, C)
+            return (scale + config.eps * eye[:, :, None]) * (d ** 0.5)
 
-        keys0, z0, v0, t0, th0, tmin0, tmax0 = begin(
-            state.rng_key, state.position, state.potential_energy,
-            state.adapt_state.loc, sigma_of(state.adapt_state.scale),
+        def project_cl(x, loc, sigma_sqrt):
+            """R^d -> S^d chains-last; the triangular whitening solve is
+            an unrolled forward substitution (2d lane-wide ops) instead of
+            a batched TriangularSolve on lane-padded (C, d, d) tiles."""
+            ys = x - loc                       # (d, C)
+            rows = []
+            for k in range(d):
+                xk = ys[k] / sigma_sqrt[k, k]
+                rows.append(xk)
+                if k + 1 < d:
+                    # rows <= k of ys become stale after this, never read
+                    ys = ys - sigma_sqrt[:, k, :] * xk[None, :]
+            xr = jnp.stack(rows)               # (d, C)
+            nsq = jnp.sum(xr * xr, axis=0, keepdims=True)
+            z_head = 2.0 * xr / (nsq + 1.0)
+            z_last = (nsq - 1.0) / (nsq + 1.0)
+            return jnp.concatenate([z_head, z_last], axis=0)  # (d+1, C)
+
+        def inverse_cl(z, loc, sigma_sqrt):
+            xb = z[:d] / (1.0 - z[d:d + 1])
+            x = loc
+            for j in range(d):
+                x = x + sigma_sqrt[:, j, :] * xb[j:j + 1]
+            return x
+
+        _SQRT2 = 1.4142135623730951
+        _U_LO = -0.99999994  # nextafter(-1, 0) in f32: keeps erfinv finite
+
+        def _trip_draws(k_draw):
+            """(u_shrink, u_level, u_theta, velocity normals (d+1, C))
+            from ONE batched threefry invocation."""
+            U = jax.vmap(lambda k: jax.random.uniform(k, (d + 4,)))(k_draw)
+            UT = U.T                           # (d+4, C)
+            n01 = _SQRT2 * jax.scipy.special.erfinv(
+                jnp.maximum(2.0 * UT[3:] - 1.0, _U_LO)
+            )
+            return UT[0], UT[1], UT[2], n01
+
+        def begin(n01, u_level, u_theta, x, pe, loc, sigma_sqrt):
+            """Fresh-transition quantities (no potential evaluation)."""
+            z = project_cl(x, loc, sigma_sqrt)
+            pe_t = pe + d * jnp.log(1.0 - z[d])
+            v = n01 - jnp.sum(n01 * z, axis=0, keepdims=True) * z
+            v = v / jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+            t_pe = pe_t - jnp.log(u_level)
+            theta = u_theta * _TWO_PI
+            return z, v, t_pe, theta, theta - _TWO_PI, theta
+
+        k_keys0, k_draw0 = split_keys(state.rng_key, 2)
+        _, ul0, uth0, n01_0 = _trip_draws(k_draw0)
+        z0, v0, t0, th0, tmin0, tmax0 = begin(
+            n01_0, ul0, uth0, state.position.T, state.potential_energy,
+            state.adapt_state.loc.T,
+            sigma_of(jnp.transpose(state.adapt_state.scale, (1, 2, 0))),
         )
         carry0 = (
-            keys0, state.position, state.potential_energy,
-            state.adapt_state.loc, state.adapt_state.scale,
+            k_keys0, state.position.T, state.potential_energy,
+            state.adapt_state.loc.T,
+            jnp.transpose(state.adapt_state.scale, (1, 2, 0)),
             state.as_change, z0, v0, t0, th0, tmin0, tmax0,
             jnp.zeros((C,), jnp.int32),   # trips this transition
             jnp.zeros((C,), jnp.int32),   # steps completed this call
@@ -317,18 +372,26 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
                 # its RNG stream pauses with it — the resumed trajectory
                 # is bitwise the step_n one)
                 active = active & recorder_drift_ok(done, thinning)
+            k_next, k_draw = split_keys(keys, 2)
+            u_shrink, u_level, u_theta, n01 = _trip_draws(k_draw)
+            keys_new = jnp.where(
+                active.reshape(active.shape + (1,) * (k_next.ndim - 1)),
+                k_next, keys,
+            )
             sigma_sqrt = sigma_of(scale)
             # — the one batched evaluation of this iteration —
-            z_th = z * jnp.cos(theta)[:, None] + v * jnp.sin(theta)[:, None]
-            x_prop = stereographic_inverse(z_th, loc, sigma_sqrt)
-            u_prop = nan_to_inf(batched_potential(x_prop))
-            pole = 1.0 - z_th[:, -1]
-            good = (u_prop + d * jnp.log(pole) <= t_pe) & (pole >= config.eps)
+            z_th = z * jnp.cos(theta)[None] + v * jnp.sin(theta)[None]
+            x_prop = inverse_cl(z_th, loc, sigma_sqrt)
+            u_prop = nan_to_inf(batched_potential_cl(x_prop))
+            pole = 1.0 - z_th[d]
+            good = (u_prop + d * jnp.log(pole) <= t_pe) & (
+                pole >= config.eps
+            )
             bail = trips >= config.max_shrinkage_iters
             land = active & (good | bail)
             # bail-out lands at θ=0: stay put (asss.py:94)
-            x_new = jnp.where(land[:, None],
-                              jnp.where(bail[:, None], x, x_prop), x)
+            x_new = jnp.where(land[None],
+                              jnp.where(bail[None], x, x_prop), x)
             pe_new = jnp.where(land, jnp.where(bail, pe, u_prop), pe)
             # adaptation on landing (per-chain clock i0 + done)
             if config.adapt:
@@ -337,41 +400,34 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
                 )
                 gamma = gamma.astype(jnp.float32)
                 delta = x_new - loc
-                loc_land = loc + gamma[:, None] * delta
-                scale_land = adaptive_scale_update(scale, delta, gamma)
-                chg = jnp.linalg.norm(loc_land - loc, axis=-1) + (
-                    jnp.linalg.norm(scale_land - scale, axis=(-2, -1))
+                loc_land = loc + gamma[None] * delta
+                scale_land = adaptive_scale_update_cl(scale, delta, gamma)
+                chg = jnp.sqrt(jnp.sum((loc_land - loc) ** 2, axis=0)) + (
+                    jnp.sqrt(jnp.sum((scale_land - scale) ** 2, axis=(0, 1)))
                 )
-                loc_new = jnp.where(land[:, None], loc_land, loc)
-                scale_new = jnp.where(land[:, None, None], scale_land, scale)
+                loc_new = jnp.where(land[None], loc_land, loc)
+                scale_new = jnp.where(land[None, None], scale_land, scale)
                 as_new = jnp.where(land, chg, as_chg)
             else:
                 loc_new, scale_new, as_new = loc, scale, as_chg
             done_new = done + land.astype(jnp.int32)
-            # landed chains draw their next transition; shrinking chains
+            # landed chains open their next transition; shrinking chains
             # tighten the bracket; finished/idle chains freeze (and stop
             # consuming randomness)
-            b_keys, b_z, b_v, b_t, b_th, b_tmin, b_tmax = begin(
-                keys, x_new, pe_new, loc_new, sigma_of(scale_new)
+            b_z, b_v, b_t, b_th, b_tmin, b_tmax = begin(
+                n01, u_level, u_theta, x_new, pe_new, loc_new,
+                sigma_of(scale_new),
             )
             shrink = active & ~land
             s_tmin = jnp.where(shrink & (theta < 0.0), theta, tmin)
             s_tmax = jnp.where(shrink & (theta >= 0.0), theta, tmax)
-            k_smp, k_keep = split_keys(keys, 2)
-            u = jax.vmap(jax.random.uniform)(k_smp)
-            s_theta = s_tmin + u * (s_tmax - s_tmin)
+            s_theta = s_tmin + u_shrink * (s_tmax - s_tmin)
 
-            def pick(land_v, shrink_v, keep_v, mask_land=land,
-                     mask_shrink=shrink):
-                ml = mask_land.reshape(
-                    mask_land.shape + (1,) * (land_v.ndim - 1)
-                )
-                ms = mask_shrink.reshape(
-                    mask_shrink.shape + (1,) * (land_v.ndim - 1)
-                )
+            def pick(land_v, shrink_v, keep_v):
+                ml = land.reshape((1,) * (land_v.ndim - 1) + land.shape)
+                ms = shrink.reshape((1,) * (land_v.ndim - 1) + shrink.shape)
                 return jnp.where(ml, land_v, jnp.where(ms, shrink_v, keep_v))
 
-            keys_new = pick(b_keys, k_keep, keys)
             z_new = pick(b_z, z, z)
             v_new = pick(b_v, v, v)
             t_new = pick(b_t, t_pe, t_pe)
@@ -386,7 +442,7 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
                     trips_new, done_new)
 
         F = n_frames
-        ring0, out0 = recorder_init(
+        ring0, out0 = recorder_init_cl(
             C, F,
             {"position": (d,), "potential_energy": (), "as_change": ()},
         )
@@ -402,23 +458,25 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
                 done_before = c[13]
                 c = body(c)
                 if F > 0:
-                    ring = recorder_write(
+                    ring = recorder_write_cl(
                         ring, done_before, c[13], thinning,
                         {"position": c[1], "potential_energy": c[2],
                          "as_change": c[5]},
                     )
-                    out = recorder_flush(ring, out, c[13], thinning, F)
+                    out = recorder_flush_cl(ring, out, c[13], thinning, F)
             return (c, ring, out)
 
         c, _, out = lax.while_loop(cond2, body2, (carry0, ring0, out0))
-        bx, bpe, bas = (
-            out["position"], out["potential_energy"], out["as_change"]
-        )
+        bx = jnp.transpose(out["position"], (2, 0, 1))      # (C, F, d)
+        bpe = out["potential_energy"].T
+        bas = out["as_change"].T
         final = ASSSState(
             i=state.i + n_steps,
-            position=c[1],
+            position=c[1].T,
             potential_energy=c[2],
-            adapt_state=ASSSAdaptState(c[3], c[4]),
+            adapt_state=ASSSAdaptState(
+                c[3].T, jnp.transpose(c[4], (2, 0, 1))
+            ),
             as_change=c[5],
             rng_key=c[0],
         )

@@ -120,3 +120,60 @@ def adaptive_scale_update(
         return new
     bad = jnp.any(jnp.isnan(new), axis=(-2, -1))
     return jnp.where(bad[:, None, None], L, new)
+
+
+def _rank1_update_cl(L: Array, v: Array, a0: Array) -> Array:
+    """Chains-LAST unrolled GGMS74-C1 column recursion (same math as the
+    Pallas kernel, issued as plain XLA ops so it fuses into the caller's
+    loop body): ``L`` (d, d, C) lower, ``v`` (d, C), ``a0`` (C,)."""
+    d = L.shape[0]
+    a, w = a0, v
+    cols = []
+    for j in range(d):
+        col = L[:, j, :]                     # (d, C)
+        diag = L[j, j, :]                    # (C,)
+        inv_diag = 1.0 / diag
+        Dj = diag * diag
+        p = w[j, :]
+        Dj_new = Dj + a * p * p
+        inv_Dj_new = 1.0 / Dj_new
+        sqrt_Dj_new = jnp.sqrt(Dj_new)
+        s_w = p * inv_diag
+        s_col = sqrt_Dj_new * inv_diag
+        s_new = (p * a) * inv_Dj_new * sqrt_Dj_new
+        a = a * Dj * inv_Dj_new
+        w = w - s_w[None, :] * col
+        col_new = s_col[None, :] * col + s_new[None, :] * w
+        # strict lower-triangularity: kill fp dust above the diagonal
+        mask = (jnp.arange(d) >= j)[:, None]
+        cols.append(jnp.where(mask, col_new, 0.0))
+    return jnp.stack(cols, axis=1)           # (d, d, C)
+
+
+def adaptive_scale_update_cl(
+    L: Array, delta: Array, gamma: Array, eps_nan_guard: bool = True,
+    use_pallas: bool | None = None,
+) -> Array:
+    """Chains-last twin of :func:`adaptive_scale_update`: ``L`` (d, d, C),
+    ``delta`` (d, C), ``gamma`` (C,).  Dispatches to the Pallas kernel's
+    native-layout entry (zero transposes) on TPU."""
+    gamma = jnp.asarray(gamma, L.dtype)
+    scaled = jnp.sqrt(1.0 - gamma)[None, None, :] * L
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    new = None
+    if use_pallas:
+        try:
+            from adaptive_mcmc_tpu.ops.pallas.chol_update import (
+                chol_update_pallas_cl,
+            )
+
+            new = chol_update_pallas_cl(scaled, delta, gamma)
+        except Exception:  # pragma: no cover - pallas unavailable fallback
+            pass
+    if new is None:
+        new = _rank1_update_cl(scaled, delta, gamma)
+    if not eps_nan_guard:
+        return new
+    bad = jnp.any(jnp.isnan(new), axis=(0, 1))
+    return jnp.where(bad[None, None, :], L, new)

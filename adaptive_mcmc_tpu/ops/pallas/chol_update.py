@@ -79,17 +79,14 @@ def _kernel(d: int):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def chol_update_pallas(
-    L: Array, v: Array, coef: Array, *, interpret: bool | None = None
+def chol_update_pallas_cl(
+    Lt: Array, vt: Array, coef: Array, *, interpret: bool | None = None
 ) -> Array:
-    """chol(L_i L_i^T + coef_i v_i v_i^T) for a (C, d, d) batch.
-
-    Layout contract: inputs arrive chains-first (framework convention);
-    the wrapper transposes to chains-last for the kernel and back.  The
-    two transposes move ~2 d^2 C floats — negligible next to the scan
-    implementation's serialized latency.
-    """
-    C, d, _ = L.shape
+    """Chains-LAST entry point: ``Lt`` (d, d, C), ``vt`` (d, C), ``coef``
+    (C,) — the kernel's native layout, zero transposes.  Used by drivers
+    whose internal layout already rides chains on the lane axis
+    (kernels/asss.py pipelined driver)."""
+    d, _, C = Lt.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -99,15 +96,13 @@ def chol_update_pallas(
     pad = (-C) % cb
     if pad:
         # padded chains run the recursion on identity factors (harmless)
-        eye = jnp.broadcast_to(jnp.eye(d, dtype=L.dtype), (pad, d, d))
-        L = jnp.concatenate([L, eye], axis=0)
-        v = jnp.concatenate([v, jnp.zeros((pad, d), v.dtype)], axis=0)
+        eye = jnp.broadcast_to(
+            jnp.eye(d, dtype=Lt.dtype)[:, :, None], (d, d, pad)
+        )
+        Lt = jnp.concatenate([Lt, eye], axis=2)
+        vt = jnp.concatenate([vt, jnp.zeros((d, pad), vt.dtype)], axis=1)
         coef = jnp.concatenate([coef, jnp.ones((pad,), coef.dtype)], axis=0)
     Cp = C + pad
-
-    Lt = jnp.transpose(L, (1, 2, 0))            # (d, d, Cp)
-    vt = jnp.transpose(v, (1, 0))               # (d, Cp)
-    coef2 = coef[None, :]                       # (1, Cp)
 
     out = pl.pallas_call(
         _kernel(d),
@@ -122,9 +117,25 @@ def chol_update_pallas(
         ],
         out_specs=pl.BlockSpec((d, d, cb), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, d, Cp), L.dtype),
+        out_shape=jax.ShapeDtypeStruct((d, d, Cp), Lt.dtype),
         interpret=interpret,
-    )(Lt, vt, coef2)
+    )(Lt, vt, coef[None, :])
 
-    out = jnp.transpose(out, (2, 0, 1))         # (Cp, d, d)
-    return out[:C] if pad else out
+    return out[..., :C] if pad else out
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chol_update_pallas(
+    L: Array, v: Array, coef: Array, *, interpret: bool | None = None
+) -> Array:
+    """chol(L_i L_i^T + coef_i v_i v_i^T) for a (C, d, d) batch.
+
+    Layout contract: inputs arrive chains-first (framework convention);
+    the wrapper transposes to chains-last for the kernel and back.  The
+    two transposes move ~2 d^2 C floats — negligible next to the scan
+    implementation's serialized latency.
+    """
+    out = chol_update_pallas_cl(
+        jnp.transpose(L, (1, 2, 0)), v.T, coef, interpret=interpret
+    )
+    return jnp.transpose(out, (2, 0, 1))
