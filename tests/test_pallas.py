@@ -162,3 +162,57 @@ def test_fused_arwmh_collect_frames():
         rtol=1e-6,
     )
     assert np.isfinite(np.asarray(frames["position"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Chains-last entries (ops/cholesky.adaptive_scale_update_cl,
+# ops/pallas/chol_update.chol_update_pallas_cl)
+# ---------------------------------------------------------------------------
+
+from adaptive_mcmc_tpu.ops.cholesky import adaptive_scale_update_cl
+from adaptive_mcmc_tpu.ops.pallas.chol_update import chol_update_pallas_cl
+
+
+@pytest.mark.parametrize("C,d", [(4, 3), (130, 10), (37, 5)])
+def test_chains_last_pallas_entry_matches_chains_first(C, d):
+    key = jax.random.PRNGKey(4)
+    L = _rand_chols(key, C, d)
+    v = jax.random.normal(jax.random.PRNGKey(5), (C, d))
+    coef = jnp.linspace(0.02, 0.8, C)
+    got = chol_update_pallas_cl(
+        jnp.transpose(L, (1, 2, 0)), v.T, coef, interpret=True
+    )
+    want = chol_update_pallas(L, v, coef, interpret=True)
+    np.testing.assert_allclose(
+        jnp.transpose(got, (2, 0, 1)), want, rtol=1e-6, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("C,d", [(6, 4), (200, 26)])
+def test_adaptive_scale_update_cl_matches_chains_first(C, d):
+    key = jax.random.PRNGKey(6)
+    L = _rand_chols(key, C, d)
+    delta = jax.random.normal(jax.random.PRNGKey(7), (C, d))
+    gamma = jnp.linspace(0.01, 0.5, C)
+    got = adaptive_scale_update_cl(
+        jnp.transpose(L, (1, 2, 0)), delta.T, gamma, use_pallas=False
+    )
+    want = adaptive_scale_update(L, delta, gamma)
+    np.testing.assert_allclose(
+        jnp.transpose(got, (2, 0, 1)), want, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_adaptive_scale_update_cl_nan_guard():
+    """An indefinite downdate must return the PRE-update factor (per
+    chain), matching the chains-first guard semantics."""
+    d, C = 4, 8
+    L = jnp.transpose(_rand_chols(jax.random.PRNGKey(8), C, d), (1, 2, 0))
+    delta = jnp.zeros((d, C)).at[0, :2].set(100.0)  # chains 0,1 blow up
+    gamma = jnp.full((C,), 0.999)
+    # scaled factor sqrt(1-gamma) L shrinks; the huge delta still keeps
+    # these PSD, so instead force NaN via an impossible gamma > 1
+    gamma = gamma.at[:2].set(1.5)  # sqrt(negative) -> NaN path
+    out = adaptive_scale_update_cl(L, delta, gamma, use_pallas=False)
+    np.testing.assert_allclose(out[..., :2], L[..., :2], atol=0.0)
+    assert not bool(jnp.isnan(out).any())
