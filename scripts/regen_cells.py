@@ -112,10 +112,22 @@ def main():
                 cache_dir=f"{args.out_dir}/reference_draws",
             )
             csv = npz_path.with_name(f"eval_{kernel}.csv")
-            df = evaluate_run(
-                npz_path, ref, csv, exact_wasserstein_seeds=100,
-                sinkhorn=False, verbose=True,
-            )
+            # kidiq (d=4) cost matrices are tie-dense: single-instance
+            # auctions stall in bidding wars, but the batched auction
+            # amortizes the war rounds across seeds (VERDICT r2 next #6);
+            # 8x (10k x 10k) f32 cost tiles = 3.2 GB HBM.
+            batch = 8 if target == "kidiq" else 1
+            try:
+                df = evaluate_run(
+                    npz_path, ref, csv, exact_wasserstein_seeds=100,
+                    exact_w_batch=batch, sinkhorn=False, verbose=True,
+                )
+            except Exception as exc:  # draws are saved; eval is retryable
+                print(f"[{cell}] EVAL FAILED ({exc}); draws kept, "
+                      "continuing with next cell", flush=True)
+                entry["eval_error"] = str(exc)
+                state_file.write_text(json.dumps(results))
+                continue
             entry.update(
                 rmse_mean=float(df["rmse_means"].mean()),
                 rmse_std=float(df["rmse_means"].std()),
