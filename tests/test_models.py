@@ -111,3 +111,62 @@ def test_mvn_potential():
         np.array(x), np.array(loc), np.array(L @ L.T)
     )
     np.testing.assert_allclose(float(t.potential_fn(x)), want, rtol=1e-5)
+
+
+def test_diamonds_reconstruction_matches_gold_analytically():
+    """Non-circular validation of the real-posterior diamonds
+    reconstruction (models/data.py fallback): the model is linear-Gaussian
+    given sigma, so the exact posterior follows from the vendored
+    sufficient statistics by 1-D quadrature over log(sigma) in f64.  The
+    quadrature moments must match the reference's PosteriorDB gold draws
+    (models/_gold/diamonds.npy) to within their 10k-draw Monte-Carlo
+    noise — proving the synthesized dataset's posterior IS the real one
+    (reference: python/mcmc_runs/diamonds-example-references.pkl via
+    scripts/make_diamonds_real.py)."""
+    from pathlib import Path
+
+    stats = np.load(
+        Path(models.data.__file__).parent / "_diamonds_stats.npz"
+    )
+    A = stats["A"].astype(np.float64)
+    c = stats["c"].astype(np.float64)
+    yty, n = float(stats["yty"]), int(stats["n"])
+    gold = np.load(
+        Path(models.data.__file__).parent / "_gold" / "diamonds.npy"
+    ).astype(np.float64)
+    k = A.shape[0]
+
+    evals, evecs = np.linalg.eigh(A)
+    c_t = evecs.T @ c
+
+    def log_post_and_mean(ls):
+        sig2 = np.exp(2.0 * ls)
+        M = evals / sig2 + 1.0                    # posterior precision eigs
+        mu_t = (c_t / sig2) / M
+        logev = (
+            -0.5 * n * np.log(sig2)
+            - 0.5 * np.sum(np.log(M))
+            - 0.5 * (yty / sig2 - np.sum(c_t**2 / (sig2**2 * M)))
+        )
+        sig = np.exp(ls)
+        lprior = -2.0 * np.log1p(sig**2 / 300.0) + ls  # folded-t(3,0,10)
+        return logev + lprior, mu_t
+
+    g_ls = gold[:, -1]
+    grid = np.linspace(
+        g_ls.mean() - 8 * g_ls.std(), g_ls.mean() + 8 * g_ls.std(), 400
+    )
+    lp, mus = zip(*(log_post_and_mean(l) for l in grid))
+    lp = np.asarray(lp) - max(lp)
+    w = np.exp(lp)
+    w /= w.sum()
+    e_ls = float(np.sum(w * grid))
+    sd_ls = float(np.sqrt(np.sum(w * (grid - e_ls) ** 2)))
+    mu_b = evecs @ np.sum(w[:, None] * np.asarray(mus), axis=0)
+
+    # 10k-draw MC noise on a mean is sd/100; allow 5 of those
+    assert abs(e_ls - g_ls.mean()) < 5 * g_ls.std() / 100.0
+    assert abs(sd_ls - g_ls.std()) / g_ls.std() < 0.05
+    gb = gold[:, 1 : 1 + k]
+    err = np.abs(mu_b - gb.mean(0)) / (gb.std(0) / 100.0)
+    assert err.max() < 5.0, err.max()
