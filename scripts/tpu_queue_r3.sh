@@ -24,6 +24,20 @@ for cell in eight_schools/arwmh eight_schools/asss eight_schools/nuts \
     >>"$LOG" 2>&1 || echo "FAILED $cell" | tee -a "$LOG"
 done
 
+# 3. lr_decay diamonds family: the round-2 artifacts were generated
+#    from the old ad-hoc synthetic target; the real-posterior
+#    reconstruction (6813ad5) obsoleted them.  Re-run at full scale.
+echo "--- lr_decay diamonds $(date) ---" | tee -a "$LOG"
+timeout 14400 python scripts/run_lr_decay_sweeps.py --targets diamonds \
+  >>"$LOG" 2>&1 || echo "FAILED lr_decay diamonds" | tee -a "$LOG"
+
+# 4. regenerate artifact-driven figures (pe-lr / adaptation-lr /
+#    metric boxplots / phi-eval / posterior-predictive) from the new
+#    artifacts for every target.
+echo "--- artifact figures $(date) ---" | tee -a "$LOG"
+timeout 3600 python -m adaptive_mcmc_tpu.analysis.artifact_figures img \
+  >>"$LOG" 2>&1 || echo "FAILED artifact figures" | tee -a "$LOG"
+
 echo "=== tpu_queue_r3 done $(date) ===" | tee -a "$LOG"
 python - <<'EOF' | tee -a "$LOG"
 import json
