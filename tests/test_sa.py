@@ -74,3 +74,21 @@ def test_eight_schools_finite():
         n_chains=4,
     )
     assert np.isfinite(np.asarray(samples)).all()
+
+
+def test_eight_schools_posterior_moments():
+    """SA quality on the real benchmark target: posterior means must hit
+    the 2-D quadrature truths (E[mu]=4.397, E[log tau]=0.8022 —
+    experiments/quadrature.py; same anchors as the NUTS test).  A pooled
+    16-chain x 2.5k-draw run has MC s.e. ~0.03 on mu; tolerances are set
+    ~5x that to stay flake-free while still catching bias at the level
+    the w_eval sweep would care about."""
+    t = models.eight_schools_noncentered()
+    k = sa(t)
+    samples, _, _ = run_mcmc(
+        k, jax.random.PRNGKey(5), num_warmup=2500, num_samples=25_000,
+        thinning=10, n_chains=16,
+    )
+    s = np.asarray(samples).reshape(-1, t.dim)
+    assert abs(s[:, 0].mean() - 4.397) < 0.2, s[:, 0].mean()
+    assert abs(s[:, 1].mean() - 0.8022) < 0.15, s[:, 1].mean()
