@@ -122,6 +122,34 @@ def main():
         pot = time_potential(es, chains, grad=grad)
         rows.append((name, chains, full, frozen, pot))
 
+    # production pipelined drivers (step_n/collect_n) at the w_eval sweep
+    # shape (100 chains = 100 seeds x 1 chain) — the config the RESULTS
+    # walls are made of, where per-step dispatch dominates
+    drv_rows = []
+    for name, build, cfg, warm, steps in (
+        ("arwmh", arwmh, ARWMHConfig, 5_000, 20_000),
+        ("asss", asss, ASSSConfig, 2_000, 5_000),
+        ("nuts", nuts, NUTSConfig, 400, 500),
+    ):
+        k = build(es, cfg(num_warmup=warm))
+        step_n = getattr(k, "step_n", None)
+        if step_n is None:
+            continue
+        state = k.init(jax.random.PRNGKey(0), n_chains=100)
+        # adapt through the kernel's own warmup window so the timed
+        # steps run on post-warmup geometry (trip counts / tree depths
+        # at their steady-state distribution)
+        state = jax.block_until_ready(step_n(state, warm))
+        run = jax.jit(lambda s, n=steps: step_n(s, n))
+        state = jax.block_until_ready(run(state))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state = run(state)
+            jax.block_until_ready(state.position)
+            best = min(best, (time.perf_counter() - t0) / steps)
+        drv_rows.append((name, best))
+
     lines = [
         "# PERF — per-step cost breakdown (eight-schools, one TPU v5e chip)",
         "",
@@ -142,6 +170,20 @@ def main():
             f"| {pot*1e6:.1f} µs | {share} "
             f"| {chains/full:,.0f} |"
         )
+    if drv_rows:
+        lines += [
+            "",
+            "Production drivers (pipelined `step_n`, adaptive, 100 chains "
+            "= the w_eval sweep shape; per-chain transitions interleave so "
+            "s/step is amortized, not max-over-chains):",
+            "",
+            "| kernel | s/step (100 chains) | chain-iters/s |",
+            "|---|---|---|",
+        ]
+        for name, best in drv_rows:
+            lines.append(
+                f"| {name} | {best*1e6:.1f} µs | {100/best:,.0f} |"
+            )
     lines += [
         "",
         "Notes:",

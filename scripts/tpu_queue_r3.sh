@@ -24,6 +24,12 @@ for cell in eight_schools/arwmh eight_schools/asss eight_schools/nuts \
     >>"$LOG" 2>&1 || echo "FAILED $cell" | tee -a "$LOG"
 done
 
+# 2b. per-step cost breakdown -> PERF.md (now incl. pipelined-driver
+#     rows at the sweep shape)
+echo "--- perf breakdown $(date) ---" | tee -a "$LOG"
+timeout 1800 python scripts/perf_breakdown.py >>"$LOG" 2>&1 \
+  || echo "FAILED perf_breakdown" | tee -a "$LOG"
+
 # 3. lr_decay diamonds family: the round-2 artifacts were generated
 #    from the old ad-hoc synthetic target; the real-posterior
 #    reconstruction (6813ad5) obsoleted them.  Re-run at full scale.
