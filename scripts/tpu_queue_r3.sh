@@ -15,6 +15,12 @@ timeout 1200 python bench.py 2>>"$LOG" | tee /tmp/bench_r3_probe.json | tee -a "
 #    from exactly those draws): VERDICT next #1/#3/#5/#6/#7/#9.
 #    eight_schools first (fast, highest-visibility walls), then kidiq
 #    (batched-auction exact W), then diamonds (new real posterior).
+# kidiq rows are currently COMPLETE (100-seed exact W, backfilled by the
+# host Hungarian) but grade pre-rewrite draws; regen overwrites the npz,
+# so keep a restorable copy in case the batched-auction eval fails.
+[ -d mcmc_runs/w_eval/kidiq.r2backup ] || \
+  cp -r mcmc_runs/w_eval/kidiq mcmc_runs/w_eval/kidiq.r2backup
+
 for cell in eight_schools/arwmh eight_schools/asss eight_schools/nuts \
             eight_schools/sa \
             kidiq/arwmh kidiq/asss kidiq/nuts \
@@ -23,6 +29,12 @@ for cell in eight_schools/arwmh eight_schools/asss eight_schools/nuts \
   timeout 5400 python scripts/regen_cells.py --cells "$cell" \
     >>"$LOG" 2>&1 || echo "FAILED $cell" | tee -a "$LOG"
 done
+
+if grep -q '"eval_error"' mcmc_runs/results_state.json; then
+  echo "NOTE: some cells have eval_error — kidiq backup retained at" \
+       "mcmc_runs/w_eval/kidiq.r2backup (restore npz+csv if needed)" \
+       | tee -a "$LOG"
+fi
 
 # 2b. per-step cost breakdown -> PERF.md (now incl. pipelined-driver
 #     rows at the sweep shape)
