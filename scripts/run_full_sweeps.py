@@ -121,6 +121,32 @@ def summarize(results: dict, out_md: Path):
         "count stays 10k per seed and the scale shows up in the run npz "
         "meta (wall entries also reveal it).",
     ]
+    lines += [
+        "",
+        "## Why the eight-schools ASSS rmse spread exceeds the reference's",
+        "",
+        "Across-seed rmse std here ~0.021 vs the reference's 0.0146 "
+        "(BASELINE.md:26).  Three-part decomposition "
+        "(scripts/asss_spread_analysis.py, scripts/_asss_reset_ab.py):",
+        "",
+        "1. The draws are at reference mixing parity: per-dim Geyer ESS "
+        "median ~9.7k/10k (reference reports 9.3k-10.3k), long-lag pooled "
+        "ACF ~0 — the excess is not slow mixing.",
+        "2. The excess concentrates in the FIRST sampling quarter and is "
+        "caused by reference semantics we reproduce deliberately: the "
+        "adaptation clock resets at the warmup boundary (reference "
+        "asss.py:248), sending gamma back toward 1 so the scale factor "
+        "contracts toward single-move outer products before re-converging. "
+        "An A/B with the reset removed flattens the per-quarter seed-mean "
+        "stds [0.094, 0.069, 0.071, 0.063] -> [0.065, 0.068, 0.065, 0.069] "
+        "and moves the spread ~0.023 -> ~0.021.",
+        "3. The remainder is sampling noise of the std-over-100-seeds "
+        "statistic itself: simulated at the independence floor the spread "
+        "ranges [0.013, 0.028] (2.5-97.5%) across gold/seed realizations; "
+        "the reference's 0.0146 sits at the low end (P(<=0.0146) = 0.19), "
+        "and our ARWMH (0.0150) and NUTS (0.0154) cells land in the same "
+        "band as the reference's own three kernels (0.0146-0.0177).",
+    ]
     out_md.write_text("\n".join(lines) + "\n")
     print(f"[results] {out_md}")
 
