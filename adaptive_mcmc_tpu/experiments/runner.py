@@ -49,6 +49,20 @@ def _driver_name(kernel, kernel_name: str) -> str:
     return "lockstep"
 
 
+def _unroll_override(cfg_cls) -> dict:
+    """Optional AMT_PIPELINE_UNROLL env override for the pipelined
+    drivers' body-unroll factor (scripts/tune_unroll.py measures the
+    best value per chip; the dataclass default is the fallback)."""
+    import os
+
+    v = os.environ.get("AMT_PIPELINE_UNROLL")
+    if v and "pipeline_unroll" in getattr(
+        cfg_cls, "__dataclass_fields__", {}
+    ):
+        return {"pipeline_unroll": int(v)}
+    return {}
+
+
 def build_kernel(name: str, target, *, lr_decay: float, num_warmup: int):
     if name in ("arwmh", "rwm"):
         cfg = _kernels.ARWMHConfig(
@@ -57,12 +71,17 @@ def build_kernel(name: str, target, *, lr_decay: float, num_warmup: int):
         )
         return _kernels.arwmh(target, cfg)
     if name == "asss":
-        cfg = _kernels.ASSSConfig(lr_decay=lr_decay, num_warmup=num_warmup)
+        cfg = _kernels.ASSSConfig(
+            lr_decay=lr_decay, num_warmup=num_warmup,
+            **_unroll_override(_kernels.ASSSConfig),
+        )
         return _kernels.asss(target, cfg)
     if name == "nuts":
         from adaptive_mcmc_tpu.kernels.nuts import NUTSConfig, nuts
 
-        return nuts(target, NUTSConfig(num_warmup=num_warmup))
+        return nuts(target, NUTSConfig(
+            num_warmup=num_warmup, **_unroll_override(NUTSConfig),
+        ))
     if name == "sa":
         from adaptive_mcmc_tpu.kernels.sa import SAConfig, sa
 

@@ -11,6 +11,12 @@ echo "=== tpu_queue_r3 start $(date) ===" | tee -a "$LOG"
 #    fused ARWMH drivers clear the perf bar (VERDICT r2 next #1).
 timeout 1200 python bench.py 2>>"$LOG" | tee /tmp/bench_r3_probe.json | tee -a "$LOG"
 
+# 1b. unroll-factor probe: measures step rate vs K so the ES cells can
+#     be re-run with AMT_PIPELINE_UNROLL if a clearly better K exists.
+echo "--- tune_unroll $(date) ---" | tee -a "$LOG"
+timeout 1800 python scripts/tune_unroll.py 2>&1 | tee -a "$LOG" \
+  || echo "FAILED tune_unroll" | tee -a "$LOG"
+
 # 2. single-provenance cell regeneration (cold+warm walls + eval rows
 #    from exactly those draws): VERDICT next #1/#3/#5/#6/#7/#9.
 #    eight_schools first (fast, highest-visibility walls), then kidiq
