@@ -188,10 +188,20 @@ class MCMC:
         print(summary_table(self.kernel.target, self._samples))
 
     def diagnostics_str(self) -> str:
+        """Progress-bar diagnostics string (reference: arwmh.py:214-228,
+        asss.py:276-277 feed NumPyro's tqdm).  Field names differ per
+        kernel family: ARWMH/ASSS adapt states carry ``log_step_size``
+        (log λ); NUTS carries a dual-averaging ``da.log_eps``."""
         s = self.last_state
         if hasattr(s, "mean_accept_prob"):
             ap = float(jnp.mean(s.mean_accept_prob))
-            ss = float(jnp.mean(jnp.exp(s.adapt_state.log_step_size)))
+            a = getattr(s, "adapt_state", None)
+            if hasattr(a, "log_step_size"):
+                ss = float(jnp.mean(jnp.exp(a.log_step_size)))
+            elif hasattr(a, "da"):
+                ss = float(jnp.mean(jnp.exp(a.da.log_eps)))
+            else:
+                return f"Acceptance rate: {ap:.2f}"
             return f"Acceptance rate: {ap:.2f}, Step size: {ss:.3f}"
         return f"Iteration: {int(s.i)}, Potential Energy: {float(jnp.mean(s.potential_energy)):.2f}"
 

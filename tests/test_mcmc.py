@@ -178,3 +178,21 @@ def test_collect_states_logscale_chunked_matches():
         np.asarray(a.as_change), np.asarray(b.as_change), rtol=1e-5,
         atol=1e-7,
     )
+
+
+def test_diagnostics_str_all_kernels():
+    """diagnostics_str must work for every kernel family's adapt-state
+    field naming (regression: NUTS's dual-averaging state has da.log_eps,
+    not log_step_size — quickstart.py crashed on it)."""
+    from adaptive_mcmc_tpu import asss
+    from adaptive_mcmc_tpu.kernels.nuts import nuts
+    from adaptive_mcmc_tpu.kernels.sa import sa
+
+    t = models.eight_schools_noncentered()
+    for build in (arwmh, asss, nuts, sa):
+        mcmc = MCMC(build(t), num_warmup=50, num_samples=50, n_chains=4)
+        mcmc.run(jax.random.PRNGKey(3))
+        out = mcmc.diagnostics_str()
+        assert ("Acceptance rate" in out) or ("Potential Energy" in out), (
+            build, out,
+        )
