@@ -48,3 +48,24 @@ def test_lr_decay_smoke(tmp_path):
     with np.load(base / "decay_1.npz", allow_pickle=False) as data:
         assert data["as_change"].shape[1] == 4
         assert (np.diff(data["i"]) > 0).all()
+
+
+def test_cli_scaled_budget():
+    """--scale shrinks reference budgets proportionally while keeping
+    num_samples a multiple of thinning (so the thinned draw count is
+    exact) and never zeroing a phase."""
+    from adaptive_mcmc_tpu.experiments.cli import _scaled_budget
+    from adaptive_mcmc_tpu.experiments.configs import W_EVAL_BUDGETS
+
+    full = _scaled_budget("eight_schools", "arwmh", 1.0)
+    assert full == W_EVAL_BUDGETS[("eight_schools", "arwmh")]
+    tiny = _scaled_budget("eight_schools", "arwmh", 1e-6)
+    assert tiny["num_warmup"] >= 1
+    assert tiny["num_samples"] >= tiny["thinning"]
+    assert tiny["num_samples"] % tiny["thinning"] == 0
+    half = _scaled_budget("eight_schools", "asss", 0.5)
+    assert half["num_warmup"] == \
+        W_EVAL_BUDGETS[("eight_schools", "asss")]["num_warmup"] // 2
+    # rwm aliases the arwmh budget (frozen-proposal variant)
+    assert _scaled_budget("eight_schools", "rwm", 1.0) == \
+        W_EVAL_BUDGETS[("eight_schools", "arwmh")]
