@@ -62,6 +62,36 @@ echo "--- artifact figures $(date) ---" | tee -a "$LOG"
 timeout 3600 python -m adaptive_mcmc_tpu.analysis.artifact_figures img \
   >>"$LOG" 2>&1 || echo "FAILED artifact figures" | tee -a "$LOG"
 
+# 5. regenerate RESULTS.md from the updated state files.  The kidiq
+#    host side-state (results_state_kidiq_host.json) grades the
+#    PRE-regen draws; merge_results lets side files win, so archive it
+#    for any kidiq cell whose regen eval succeeded (fresh batched-
+#    auction rows in the main state must not be masked by stale ones).
+python - <<'PYEOF' 2>>"$LOG" | tee -a "$LOG"
+import json
+from pathlib import Path
+main = json.loads(Path('mcmc_runs/results_state.json').read_text())
+side_p = Path('mcmc_runs/results_state_kidiq_host.json')
+if side_p.exists():
+    side = json.loads(side_p.read_text())
+    fresh = [k for k in side
+             if main.get(k, {}).get('w_mean') is not None
+             and main.get(k, {}).get('driver')
+             and 'eval_error' not in main.get(k, {})]
+    for k in fresh:
+        side.pop(k)
+    if fresh:
+        print(f"[merge-prep] dropping stale host rows for {fresh}")
+    if side:
+        side_p.write_text(json.dumps(side))
+    else:
+        side_p.rename(side_p.with_suffix('.json.pre_r3'))
+PYEOF
+
+echo "--- merge results $(date) ---" | tee -a "$LOG"
+timeout 600 python scripts/merge_results.py >>"$LOG" 2>&1 \
+  || echo "FAILED merge_results" | tee -a "$LOG"
+
 echo "=== tpu_queue_r3 done $(date) ===" | tee -a "$LOG"
 python - <<'EOF' | tee -a "$LOG"
 import json
