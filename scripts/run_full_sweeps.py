@@ -66,15 +66,18 @@ def summarize(results: dict, out_md: Path):
         "| chain-iters/s | wall s (warm) | wall s (cold) |",
         "|---|---|---|---|---|---|---|---|",
     ]
+    def _pm(r, m, s, fmt="{:.4f}"):
+        if r.get(m) is None:
+            return "(eval pending)"
+        return f"{fmt.format(r[m])} ± {fmt.format(r[s])}"
+
     for (target, kernel), r in sorted(results.items()):
         cold = f"{r['wall_cold']:.1f}" if r.get("wall_cold") else "—"
-        w = (f"{r['w_mean']:.4f} ± {r['w_std']:.4f}"
-             if r.get("w_mean") is not None else "(eval pending)")
         lines.append(
             f"| {target} | {kernel} "
-            f"| {r['rmse_mean']:.4f} ± {r['rmse_std']:.4f} "
-            f"| {w} "
-            f"| {r['mmd_mean']:.4f} ± {r['mmd_std']:.4f} "
+            f"| {_pm(r, 'rmse_mean', 'rmse_std')} "
+            f"| {_pm(r, 'w_mean', 'w_std')} "
+            f"| {_pm(r, 'mmd_mean', 'mmd_std')} "
             f"| {r['rate']:,.0f} | {r['wall']:.1f} | {cold} |"
         )
     lines += [

@@ -34,6 +34,9 @@ for cell in eight_schools/arwmh eight_schools/asss eight_schools/nuts \
   echo "--- regen $cell $(date) ---" | tee -a "$LOG"
   timeout 5400 python scripts/regen_cells.py --cells "$cell" \
     >>"$LOG" 2>&1 || echo "FAILED $cell" | tee -a "$LOG"
+  # incremental RESULTS.md so a round-boundary cutoff still leaves the
+  # finished cells published (merge is instant: pure-JSON -> markdown)
+  timeout 300 python scripts/merge_results.py >>"$LOG" 2>&1 || true
 done
 
 if grep -q '"eval_error"' mcmc_runs/results_state.json; then
