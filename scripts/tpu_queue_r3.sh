@@ -27,10 +27,13 @@ timeout 1800 python scripts/tune_unroll.py 2>&1 | tee -a "$LOG" \
 [ -d mcmc_runs/w_eval/kidiq.r2backup ] || \
   cp -r mcmc_runs/w_eval/kidiq mcmc_runs/w_eval/kidiq.r2backup
 
+# diamonds/arwmh is omitted: already regenerated against the real
+# posterior earlier this round (results_state has its cold+warm walls
+# and eval rows; driver=lockstep is final for d=26 — fused gate is d<=16)
 for cell in eight_schools/arwmh eight_schools/asss eight_schools/nuts \
             eight_schools/sa \
             kidiq/arwmh kidiq/asss kidiq/nuts \
-            diamonds/nuts diamonds/asss diamonds/arwmh; do
+            diamonds/nuts diamonds/asss; do
   echo "--- regen $cell $(date) ---" | tee -a "$LOG"
   timeout 5400 python scripts/regen_cells.py --cells "$cell" \
     >>"$LOG" 2>&1 || echo "FAILED $cell" | tee -a "$LOG"
