@@ -66,6 +66,12 @@ class ASSSConfig:
     # applications are no-ops; unrolling amortises the loop's fixed cost
     # (cond reduction + carry round-trip) over K batched evaluations.
     pipeline_unroll: int = 4
+    # Fused whole-sweep Pallas driver (ops/pallas/asss_fused.py): the
+    # whole per-chain state machine runs inside ONE kernel launch per
+    # step_n/collect_n call.  None = opt-in via AMT_ASSS_FUSED=1 on TPU
+    # (interpret-tested, not yet measured on hardware — see
+    # docs/R3_CHECKLIST.md); True/False forces.
+    fused: Optional[bool] = None
 
 
 class ASSSAdaptState(NamedTuple):
@@ -489,6 +495,51 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
 
     def collect_n(state: ASSSState, n_frames: int, thinning: int = 1):
         return _drive(state, n_frames * thinning, n_frames, thinning)
+
+    # ---- fused whole-sweep Pallas driver (opt-in until measured) -------
+    use_fused = config.fused
+    if use_fused is None:
+        import os
+
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("AMT_ASSS_FUSED") == "1"
+        )
+    if use_fused:
+        from adaptive_mcmc_tpu.ops.pallas.asss_fused import (
+            build_fused_asss,
+        )
+
+        fdrive = build_fused_asss(target, config)
+
+        def _fused(state: ASSSState, n_steps, n_frames, thinning):
+            # one core-PRNG seed per call, derived from (and advancing)
+            # the per-chain key state so repeated calls get fresh streams
+            keys_next, k_seed = split_keys(state.rng_key, 2)
+            seed = jax.random.key_data(k_seed)[0]
+            seed = jnp.asarray(seed).ravel()[0].astype(jnp.int32)
+            tup = (
+                state.position, state.potential_energy,
+                state.adapt_state.loc, state.adapt_state.scale,
+                state.i, state.as_change,
+            )
+            out, frames = fdrive(
+                tup, int(n_steps), int(n_frames), int(thinning),
+                seed=seed,
+            )
+            x, pe, loc, S, i_new, as_new = out
+            new = ASSSState(
+                i=i_new, position=x, potential_energy=pe,
+                adapt_state=ASSSAdaptState(loc, S),
+                as_change=as_new, rng_key=keys_next,
+            )
+            return new, frames
+
+        def step_n(state: ASSSState, n_steps: int) -> ASSSState:  # noqa: F811
+            return _fused(state, n_steps, 0, 1)[0]
+
+        def collect_n(state: ASSSState, n_frames: int, thinning: int = 1):  # noqa: F811
+            return _fused(state, n_frames * thinning, n_frames, thinning)
 
     return Kernel(
         name="asss",

@@ -56,6 +56,21 @@ def main():
             print(f"[{name}] K={k}: {r:,.0f} chain-iters/s "
                   f"({1e6 * 100 / r:.1f} us/step @100 chains)", flush=True)
 
+    # fused whole-sweep Pallas ASSS (first hardware measurement; also
+    # its first compiled-mode correctness signal — compare the rate AND
+    # sanity of the state against the XLA driver before enabling
+    # AMT_ASSS_FUSED for sweeps)
+    try:
+        cfg = ASSSConfig(num_warmup=2_000, fused=True)
+        r = rate(asss(es, cfg), 100, 2_000, 5_000)
+        print(f"[asss-FUSED] {r:,.0f} chain-iters/s "
+              f"({1e6 * 100 / r:.1f} us/step @100 chains)", flush=True)
+        for C in (1024, 4096):
+            r = rate(asss(es, cfg), C, 1_000, 1_000)
+            print(f"[asss-FUSED] C={C}: {r:,.0f} chain-iters/s", flush=True)
+    except Exception as exc:
+        print(f"[asss-FUSED] FAILED: {exc}", flush=True)
+
 
 if __name__ == "__main__":
     main()

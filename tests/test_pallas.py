@@ -216,3 +216,218 @@ def test_adaptive_scale_update_cl_nan_guard():
     out = adaptive_scale_update_cl(L, delta, gamma, use_pallas=False)
     np.testing.assert_allclose(out[..., :2], L[..., :2], atol=0.0)
     assert not bool(jnp.isnan(out).any())
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-sweep ASSS kernel (ops/pallas/asss_fused.py)
+# ---------------------------------------------------------------------------
+
+from adaptive_mcmc_tpu.kernels.asss import ASSSConfig
+from adaptive_mcmc_tpu.ops.pallas.asss_fused import build_fused_asss
+
+
+def _asss_replay(target, config, state_tup, unif3, n01, n_steps,
+                 thinning=1, n_frames=0, fc=16):
+    """Plain-jnp replay of the fused kernel's per-chain state machine
+    with injected draws — same math as kernels/asss.py step_n (whose
+    statistical correctness is tested in test_asss.py), restructured to
+    the kernel's draw-consumption order (iteration s uses row s; the
+    fresh-open iteration evaluates but cannot land; in frames mode
+    chains synchronise at each fc-frame chunk boundary like the kernel's
+    grid does)."""
+    d = target.dim
+    x, pe, loc, S, i0, as_in = state_tup
+    x, loc = x.T, loc.T                              # (d, C)
+    S = jnp.transpose(S, (1, 2, 0))                  # (d, d, C)
+    pe = pe[None, :]
+    C = x.shape[1]
+    eye = jnp.eye(d)[:, :, None]
+    from adaptive_mcmc_tpu.kernels.base import adaptation_lr
+    from adaptive_mcmc_tpu.ops.cholesky import adaptive_scale_update_cl
+
+    def sigma_of(Sc):
+        return (Sc + config.eps * eye) * (d ** 0.5)
+
+    def project(xv, lv, sig):
+        ys = xv - lv
+        rows = []
+        for k in range(d):
+            xk = ys[k:k+1] / sig[k, k:k+1]
+            rows.append(xk)
+            if k + 1 < d:
+                ys = ys - sig[:, k, :] * xk
+        xr = jnp.concatenate(rows, axis=0)
+        nsq = jnp.sum(xr * xr, axis=0, keepdims=True)
+        return jnp.concatenate(
+            [2.0 * xr / (nsq + 1.0), (nsq - 1.0) / (nsq + 1.0)], axis=0
+        )
+
+    def inverse(z, lv, sig):
+        xb = z[:d] / (1.0 - z[d:d+1])
+        out = lv
+        for j in range(d):
+            out = out + sig[:, j, :] * xb[j:j+1]
+        return out
+
+    def begin(n01s, ul, ut, xv, pev, lv, sig):
+        z = project(xv, lv, sig)
+        pe_t = pev + d * jnp.log(1.0 - z[d:d+1])
+        v = n01s - jnp.sum(n01s * z, axis=0, keepdims=True) * z
+        v = v / jnp.sqrt(jnp.sum(v * v, axis=0, keepdims=True))
+        th = ut * 6.2831853071795864769
+        return z, v, pe_t - jnp.log(ul), th, th - 6.2831853071795864769, th
+
+    bp = jax.vmap(target.potential_fn, in_axes=1)
+    z = jnp.zeros((d + 1, C)); v = jnp.zeros((d + 1, C))
+    t_pe = jnp.zeros((1, C)); theta = jnp.zeros((1, C))
+    tmin = jnp.zeros((1, C)); tmax = jnp.zeros((1, C))
+    trips = jnp.zeros((1, C), jnp.int32)
+    done = jnp.zeros((1, C), jnp.int32)
+    fresh = jnp.ones((1, C), bool)
+    as_chg = as_in[None, :] + 0.0
+    frames = {
+        "position": np.zeros((n_frames, d, C), np.float32),
+        "potential_energy": np.zeros((n_frames, C), np.float32),
+        "as_change": np.zeros((n_frames, C), np.float32),
+    }
+    if n_frames:
+        tgts = [
+            min((j + 1) * fc * thinning, n_steps)
+            for j in range(-(-n_frames // fc))
+        ]
+    else:
+        tgts = [n_steps]
+    s = 0
+    for tgt in tgts:
+      while bool(jnp.any(done < tgt)):
+        u_shrink = unif3[s, 0:1]; u_level = unif3[s, 1:2]
+        u_theta = unif3[s, 2:3]; n01s = n01[s]
+        active = done < tgt
+        sig = sigma_of(S)
+        bz, bv, bt, bth, btn, btx = begin(n01s, u_level, u_theta, x, pe,
+                                          loc, sig)
+        f = fresh
+        z = jnp.where(f[0][None], bz, z); v = jnp.where(f[0][None], bv, v)
+        t_pe = jnp.where(f, bt, t_pe); theta = jnp.where(f, bth, theta)
+        tmin = jnp.where(f, btn, tmin); tmax = jnp.where(f, btx, tmax)
+        was_fresh = f
+        z_th = z * jnp.cos(theta) + v * jnp.sin(theta)
+        x_prop = inverse(z_th, loc, sig)
+        u_prop = jnp.nan_to_num(bp(x_prop)[None, :], nan=jnp.inf,
+                                posinf=jnp.inf)
+        pole = 1.0 - z_th[d:d+1]
+        good = (u_prop + d * jnp.log(pole) <= t_pe) & (
+            pole >= config.eps)
+        bail = trips >= config.max_shrinkage_iters
+        land = active & ~was_fresh & (good | bail)
+        x_new = jnp.where(land[0][None],
+                          jnp.where(bail[0][None], x, x_prop), x)
+        pe_new = jnp.where(land, jnp.where(bail, pe, u_prop), pe)
+        _, gamma = adaptation_lr(i0 + done[0], config.num_warmup,
+                                 config.lr_decay)
+        gamma = gamma.astype(jnp.float32)[None, :]
+        delta = x_new - loc
+        loc_land = loc + gamma * delta
+        S_land = adaptive_scale_update_cl(S, delta, gamma[0],
+                                          use_pallas=False)
+        chg = jnp.sqrt(jnp.sum((loc_land - loc) ** 2, axis=0,
+                               keepdims=True)) + jnp.sqrt(
+            jnp.sum((S_land - S) ** 2, axis=(0, 1)))[None, :]
+        loc = jnp.where(land[0][None], loc_land, loc)
+        S = jnp.where(land[0][None, None], S_land, S)
+        as_chg = jnp.where(land, chg, as_chg)
+        done_new = done + land.astype(jnp.int32)
+        sig_new = sigma_of(S)
+        nz, nv, nt, nth, ntn, ntx = begin(n01s, u_level, u_theta, x_new,
+                                          pe_new, loc, sig_new)
+        shrink = active & ~was_fresh & ~land
+        s_tmin = jnp.where(shrink & (theta < 0.0), theta, tmin)
+        s_tmax = jnp.where(shrink & (theta >= 0.0), theta, tmax)
+        s_theta = s_tmin + u_shrink * (s_tmax - s_tmin)
+        l1 = land[0][None]
+        z = jnp.where(l1, nz, z); v = jnp.where(l1, nv, v)
+        t_pe = jnp.where(land, nt, t_pe)
+        theta = jnp.where(land, nth, jnp.where(shrink, s_theta, theta))
+        tmin = jnp.where(land, ntn, s_tmin)
+        tmax = jnp.where(land, ntx, s_tmax)
+        trips = jnp.where(land, 0, trips + shrink.astype(jnp.int32))
+        if n_frames:
+            rec = np.asarray(land & (done_new % thinning == 0))[0]
+            frow = np.asarray(done_new[0] // thinning - 1)
+            for c in np.nonzero(rec)[0]:
+                frames["position"][frow[c], :, c] = np.asarray(
+                    x_new[:, c])
+                frames["potential_energy"][frow[c], c] = float(
+                    pe_new[0, c])
+                frames["as_change"][frow[c], c] = float(as_chg[0, c])
+        x, pe, done, fresh = x_new, pe_new, done_new, jnp.zeros_like(f)
+        s += 1
+    return (x.T, pe[0], loc.T, jnp.transpose(S, (2, 0, 1)),
+            as_chg[0]), frames, s
+
+
+def _fused_asss_inputs(C=8, seed=0, n_draw_rows=600):
+    t = models.eight_schools_noncentered()
+    d = t.dim
+    x0 = jax.random.normal(jax.random.PRNGKey(seed), (C, d)) * 0.5
+    pe0 = jax.vmap(t.potential_fn)(x0)
+    loc0 = jnp.zeros((C, d))
+    S0 = jnp.broadcast_to(jnp.eye(d), (C, d, d)) + 0.0
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 100))
+    unif3 = jax.random.uniform(k1, (n_draw_rows, 3, C), minval=1e-6,
+                               maxval=1.0 - 1e-6)
+    n01 = jax.random.normal(k2, (n_draw_rows, d + 1, C))
+    return t, (x0, pe0, loc0, S0, 0, jnp.zeros((C,))), unif3, n01
+
+
+def test_fused_asss_matches_replay():
+    """Injected-draw determinism: the fused kernel must equal a plain-jnp
+    replay of the same state machine, leaf for leaf."""
+    t, st, unif3, n01 = _fused_asss_inputs()
+    cfg = ASSSConfig(num_warmup=10)
+    drive = build_fused_asss(t, cfg)
+    got, _ = drive(st, 25, unif3=unif3, n01=n01, interpret=True)
+    want, _, iters = _asss_replay(t, cfg, st, unif3, n01, 25)
+    assert iters < unif3.shape[0], "draw buffer exhausted"
+    for g, w, name in zip(
+        (got[0], got[1], got[2], got[3], got[5]), want,
+        ("x", "pe", "loc", "scale", "as_change"),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-5,
+            err_msg=name,
+        )
+
+
+def test_fused_asss_collect_frames():
+    """Thinned frame recording matches the replay's frames, and the
+    chunked grid (n_frames > fc forces multiple chunks) stays exact."""
+    t, st, unif3, n01 = _fused_asss_inputs(seed=3, n_draw_rows=3000)
+    cfg = ASSSConfig(num_warmup=6)
+    drive = build_fused_asss(t, cfg)
+    F, thin = 20, 3                     # fc=16 -> 2 chunks
+    got_state, got_frames = drive(
+        st, F * thin, n_frames=F, thinning=thin,
+        unif3=unif3, n01=n01, interpret=True,
+    )
+    want_state, want_frames, iters = _asss_replay(
+        t, cfg, st, unif3, n01, F * thin, thinning=thin, n_frames=F,
+    )
+    assert iters < unif3.shape[0], "draw buffer exhausted"
+    # 60 transitions of a chaotic map amplify f32 reassociation between
+    # the in-kernel rank-1 recursion and the replay's
+    # adaptive_scale_update_cl — drift stays ~1e-4-scale (a flipped
+    # shrinkage branch would diverge O(1))
+    np.testing.assert_allclose(
+        np.asarray(got_state[0]), np.asarray(want_state[0]),
+        rtol=2e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_frames["position"]),
+        np.transpose(want_frames["position"], (2, 0, 1)),
+        rtol=2e-3, atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_frames["potential_energy"]),
+        want_frames["potential_energy"].T, rtol=2e-3, atol=5e-4,
+    )
