@@ -401,8 +401,15 @@ def build_fused_asss(target, config):
         C = x.shape[0]
         inject = unif3 is not None
 
+        # widest power-of-two chain block whose scratch + loop carry +
+        # frame staging stays well inside VMEM: the dominant terms are
+        # the (d, d, cb) scale factor (x3: scratch + carry + sigma) and
+        # the (fc, d, cb) frame block
+        per_lane_f32 = 3 * d * d + 10 * d + 40 + (16 * d if n_frames else 0)
+        cb_cap = max(_LANE, 1 << ((8_000_000 // (4 * per_lane_f32))
+                                  .bit_length() - 1))
         cb = _LANE
-        while cb * 2 <= min(C, 1024):
+        while cb * 2 <= min(C, cb_cap, 4096):
             cb *= 2
         pad = (-C) % cb
         if pad:
