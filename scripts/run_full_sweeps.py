@@ -98,9 +98,11 @@ def summarize(results: dict, out_md: Path):
         "device program share the war rounds — with the same Hungarian "
         "cross-check.  MMD/RMSE on all seeds on-device; metric protocol "
         "(rmse/W/mmd) matches the reference eval_*.py.",
-        "* reference comparison (BASELINE.md, eight-schools): ARWMH "
-        "0.0745/1.6865/0.0157, ASSS 0.0607/1.7009/0.0148, NUTS "
-        "0.0587/1.6992/0.0143 (rmse/W/mmd).",
+        "* reference comparison (BASELINE.md; rmse/W/mmd): eight-schools "
+        "ARWMH 0.0745/1.6865/0.0157, ASSS 0.0607/1.7009/0.0148, NUTS "
+        "0.0587/1.6992/0.0143; diamonds ARWMH 0.0157/0.1231/0.0331, "
+        "ASSS 0.0096/0.1216/0.0140, NUTS 0.0106/0.1218/0.0142 (directly "
+        "comparable now that the diamonds posterior is the real one).",
         "* fan-out: NUTS cells sample with post-warmup clone fan-out "
         "(fan_out=16 in the npz config; exact — the post-warmup NUTS "
         "kernel is frozen, so pooling 16 clones of the warmed chain is "
