@@ -126,6 +126,19 @@ def summarize(results: dict, out_md: Path):
         "count stays 10k per seed and the scale shows up in the run npz "
         "meta (wall entries also reveal it).",
     ]
+    stale_dia = [
+        k for (t, k), r in sorted(results.items())
+        if t == "diamonds" and not r.get("wall_cold")
+    ]
+    if stale_dia:
+        lines.append(
+            "* TRANSITIONAL: diamonds rows for "
+            + "/".join(stale_dia)
+            + " still grade the pre-reconstruction synthetic target "
+            "(regeneration against the real posterior is queued — "
+            "scripts/tpu_queue_r3.sh); rows with a cold-wall entry are "
+            "already real-posterior runs."
+        )
     lines += [
         "",
         "## Why the eight-schools ASSS rmse spread exceeds the reference's",
