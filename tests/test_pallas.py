@@ -431,3 +431,36 @@ def test_fused_asss_collect_frames():
         np.asarray(got_frames["potential_energy"]),
         want_frames["potential_energy"].T, rtol=2e-3, atol=5e-4,
     )
+
+
+def test_fused_asss_posterior_moments():
+    """Statistical correctness of the fused machine independent of the
+    replay: drive a 3-D standard normal with injected iid draws (the
+    exact distribution the production core-PRNG path consumes) and check
+    pooled posterior moments.  16 chains x 600 transitions after a 200-
+    transition burn: pooled mean s.e. ~0.01, so 0.1 tolerances are
+    ~10 sigma."""
+    t = models.std_normal(3)
+    d = t.dim
+    C = 16
+    cfg = ASSSConfig(num_warmup=200)
+    drive = build_fused_asss(t, cfg)
+    x0 = jax.random.normal(jax.random.PRNGKey(11), (C, d)) * 2.0
+    st = (x0, jax.vmap(t.potential_fn)(x0), jnp.zeros((C, d)),
+          jnp.broadcast_to(jnp.eye(d), (C, d, d)) + 0.0, 0,
+          jnp.zeros((C,)))
+    S = 4000
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    unif3 = jax.random.uniform(k1, (S, 3, C), minval=1e-7,
+                               maxval=1.0 - 1e-7)
+    n01 = jax.random.normal(k2, (S, d + 1, C))
+    # burn through warmup, then collect 600 thinned frames (thin=1)
+    st1, _ = drive(st, 200, unif3=unif3, n01=n01, interpret=True)
+    st1 = (st1[0], st1[1], st1[2], st1[3], st1[4], st1[5])
+    _, frames = drive(
+        st1, 600, n_frames=600, thinning=1,
+        unif3=unif3[1200:], n01=n01[1200:], interpret=True,
+    )
+    draws = np.asarray(frames["position"]).reshape(-1, d)
+    assert np.abs(draws.mean(axis=0)).max() < 0.1, draws.mean(axis=0)
+    assert np.abs(draws.std(axis=0) - 1.0).max() < 0.1, draws.std(axis=0)
