@@ -116,7 +116,14 @@ def main():
             # auctions stall in bidding wars, but the batched auction
             # amortizes the war rounds across seeds (VERDICT r2 next #6);
             # 8x (10k x 10k) f32 cost tiles = 3.2 GB HBM.
-            batch = 8 if target == "kidiq" else 1
+            # AMT_EVAL_W_BATCH overrides for ALL targets (the batch path
+            # also amortizes per-round dispatch for non-degenerate
+            # instances — untimed on hardware, hence opt-in).
+            import os
+
+            batch = int(os.environ.get(
+                "AMT_EVAL_W_BATCH", 8 if target == "kidiq" else 1
+            ))
             try:
                 df = evaluate_run(
                     npz_path, ref, csv, exact_wasserstein_seeds=100,
