@@ -165,10 +165,13 @@ def arwmh(target, config: ARWMHConfig = ARWMHConfig()) -> Kernel:
     # ---- fused whole-step Pallas driver (step_n / collect_n) -----------
     use_fused = config.fused
     if use_fused is None:
+        import os
+
         use_fused = (
             jax.default_backend() == "tpu"
             and config.adapt
             and d <= 16  # keep large-d targets (diamonds) on the XLA path
+            and os.environ.get("AMT_ARWMH_FUSED") != "0"  # kill-switch
         )
     step_n = collect_n = None
     if use_fused:
