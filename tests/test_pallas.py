@@ -464,3 +464,37 @@ def test_fused_asss_posterior_moments():
     draws = np.asarray(frames["position"]).reshape(-1, d)
     assert np.abs(draws.mean(axis=0)).max() < 0.1, draws.mean(axis=0)
     assert np.abs(draws.std(axis=0) - 1.0).max() < 0.1, draws.std(axis=0)
+
+
+def test_fused_asss_bailout_stays_put():
+    """A target whose potential is +inf off the starting point never
+    satisfies the slice condition, so every transition must exhaust
+    max_shrinkage_iters and bail out at theta=0 (stay put) — the
+    reference's 50-trip guard (asss.py:94).  Exercises the bail branch
+    and the trip counter reset in the fused machine."""
+    from adaptive_mcmc_tpu.models.base import Target, SiteSpec
+
+    d = 3
+    wall = Target(
+        name="wall", dim=d,
+        potential_fn=lambda x: jnp.where(
+            jnp.sum(x * x) < 1e-12, 0.0, jnp.inf
+        ),
+        sites=(SiteSpec("x", d, (d,)),),
+    )
+    cfg = ASSSConfig(num_warmup=0, max_shrinkage_iters=3)
+    drive = build_fused_asss(wall, cfg)
+    C = 4
+    x0 = jnp.zeros((C, d))
+    st = (x0, jnp.zeros((C,)), jnp.zeros((C, d)),
+          jnp.broadcast_to(jnp.eye(d), (C, d, d)) + 0.0, 0,
+          jnp.zeros((C,)))
+    S = 200
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    unif3 = jax.random.uniform(k1, (S, 3, C), minval=1e-6,
+                               maxval=1.0 - 1e-6)
+    n01 = jax.random.normal(k2, (S, d + 1, C))
+    out, _ = drive(st, 5, unif3=unif3, n01=n01, interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x0),
+                               atol=0.0)
+    assert int(out[4]) == 5
