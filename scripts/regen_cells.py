@@ -53,6 +53,7 @@ from run_full_sweeps import FAN_OUT  # noqa: E402
 def _reset(out: Path, target: str, kernel: str):
     manifest = SweepManifest(out / "w_eval" / target / "manifest.json")
     manifest._done.discard(kernel)
+    manifest.path.parent.mkdir(parents=True, exist_ok=True)
     manifest.path.write_text(json.dumps(sorted(manifest._done)))
 
 
