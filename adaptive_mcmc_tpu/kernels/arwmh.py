@@ -51,12 +51,12 @@ class ARWMHConfig:
     adapt: bool = True          # False freezes loc/scale/step-size (plain RWM
                                 # with a fixed Cholesky proposal)
     # Fused whole-step Pallas driver (ops/pallas/arwmh_fused.py): the whole
-    # transition loop runs in ONE kernel with the state resident in VMEM —
-    # no per-step dispatch, no HBM round-trips.  None = auto: enabled on
-    # TPU backends for adaptive kernels on small-d targets (the in-kernel
-    # likelihood keeps its data resident; large-N/d targets stay on the
-    # XLA path).  Its PRNG streams differ from the lockstep step's
-    # jax.random streams — statistically identical, not bitwise.
+    # transition loop runs in ONE kernel with the state resident in VMEM.
+    # None = opt-in via AMT_ARWMH_FUSED=1 on TPU (first-hardware A/B
+    # showed the jitted-fori XLA driver ties it at small chain counts
+    # and beats it at 4096 — see the gate note in arwmh()).  Its PRNG
+    # streams differ from the lockstep step's jax.random streams —
+    # statistically identical, not bitwise.
     fused: Optional[bool] = None
 
 
@@ -163,6 +163,13 @@ def arwmh(target, config: ARWMHConfig = ARWMHConfig()) -> Kernel:
         )
 
     # ---- fused whole-step Pallas driver (step_n / collect_n) -----------
+    # First-hardware A/B (2026-08-18, eight-schools d=10, back-to-back
+    # same-process runs): the fused kernel TIES the jitted-fori XLA
+    # lockstep driver at 100 chains (0.99x) and LOSES at 4096 (0.78x) —
+    # inside one jit region the XLA driver has no per-step dispatch
+    # either, and its (C,d,d) rank-1 update tiles better than the
+    # chains-last Mosaic build.  Opt-in (AMT_ARWMH_FUSED=1 or
+    # config.fused=True) until a build beats the XLA path.
     use_fused = config.fused
     if use_fused is None:
         import os
@@ -171,7 +178,7 @@ def arwmh(target, config: ARWMHConfig = ARWMHConfig()) -> Kernel:
             jax.default_backend() == "tpu"
             and config.adapt
             and d <= 16  # keep large-d targets (diamonds) on the XLA path
-            and os.environ.get("AMT_ARWMH_FUSED") != "0"  # kill-switch
+            and os.environ.get("AMT_ARWMH_FUSED") == "1"  # opt-in
         )
     step_n = collect_n = None
     if use_fused:

@@ -306,12 +306,18 @@ def build_fused_arwmh(target, config):
         C = x.shape[0]
         inject = noise is not None
 
-        # Widest power-of-two chain block that fits VMEM: grid programs run
-        # sequentially on the core, so wide blocks (lane-tiled ops) hide
-        # the d-recursion's serial latency; 4096 lanes * (d^2+4d+5) floats
-        # stays well under VMEM for the d <= 16 targets this path serves.
+        # Widest power-of-two chain block that fits VMEM.  Mosaic's
+        # scoped-vmem stack for this kernel measures ~3x the naive
+        # in+out+scratch block accounting (first-hardware-contact OOM:
+        # 31.05 MB at d=10, cb=4096 = ~1.9k f32/lane), so the cap uses
+        # a measured per-lane coefficient and we raise the scoped limit
+        # from the 16 MB default to 100 MB (v5e VMEM is 128 MB) via
+        # CompilerParams below, targeting <= ~64 MB actual.
+        per_lane_f32 = 19 * d * d + 60 * d + 120
+        cb_cap = max(_LANE, 1 << ((64_000_000 // (4 * per_lane_f32))
+                                  .bit_length() - 1))
         cb = _LANE
-        while cb * 2 <= min(C, 4096):
+        while cb * 2 <= min(C, cb_cap, 4096):
             cb *= 2
         pad = (-C) % cb
         if pad:
@@ -427,6 +433,9 @@ def build_fused_arwmh(target, config):
                 scratch_shapes=scratch,
             ),
             out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(seed_arr, i0_arr, *inputs)
 

@@ -270,8 +270,11 @@ def build_fused_asss(target, config):
                     n01, u_level, u_theta, x, pe, loc, sig
                 )
                 f = fresh > 0
-                z = jnp.where(f[None, 0], bz, z)
-                v = jnp.where(f[None, 0], bv, v)
+                # NB: plain (1, cb) masks broadcast fine; spelled-out
+                # index tricks like f[None, 0] lower to lax.gather,
+                # which Mosaic rejects inside the kernel body.
+                z = jnp.where(f, bz, z)
+                v = jnp.where(f, bv, v)
                 t_pe = jnp.where(f, bt, t_pe)
                 theta = jnp.where(f, bth, theta)
                 tmin = jnp.where(f, btn, tmin)
@@ -290,8 +293,7 @@ def build_fused_asss(target, config):
                 bail = trips >= max_trips
                 land = active & ~was_fresh & (good | bail)
                 x_new = jnp.where(
-                    land[None, 0],
-                    jnp.where(bail[None, 0], x, x_prop), x,
+                    land, jnp.where(bail, x, x_prop), x,
                 )
                 pe_new = jnp.where(land, jnp.where(bail, pe, u_prop), pe)
 
@@ -306,8 +308,8 @@ def build_fused_asss(target, config):
                     ) + jnp.sqrt(
                         jnp.sum((S_land - S) ** 2, axis=(0, 1))
                     )[None, :]
-                    loc_new = jnp.where(land[None, 0], loc_land, loc)
-                    S_new = jnp.where(land[None, None, 0], S_land, S)
+                    loc_new = jnp.where(land, loc_land, loc)
+                    S_new = jnp.where(land[None], S_land, S)
                     as_new = jnp.where(land, chg, as_chg)
                 else:
                     loc_new, S_new, as_new = loc, S, as_chg
@@ -324,7 +326,7 @@ def build_fused_asss(target, config):
                 s_tmax = jnp.where(shrink & (theta >= 0.0), theta, tmax)
                 s_theta = s_tmin + u_shrink * (s_tmax - s_tmin)
 
-                l1 = land[None, 0]
+                l1 = land
                 z = jnp.where(l1, nz, z)
                 v = jnp.where(l1, nv, v)
                 t_pe = jnp.where(land, nt, t_pe)
@@ -404,9 +406,14 @@ def build_fused_asss(target, config):
         # widest power-of-two chain block whose scratch + loop carry +
         # frame staging stays well inside VMEM: the dominant terms are
         # the (d, d, cb) scale factor (x3: scratch + carry + sigma) and
-        # the (fc, d, cb) frame block
-        per_lane_f32 = 3 * d * d + 10 * d + 40 + (16 * d if n_frames else 0)
-        cb_cap = max(_LANE, 1 << ((8_000_000 // (4 * per_lane_f32))
+        # the (fc, d, cb) frame block.  Mosaic's scoped-vmem stack runs
+        # ~3x the naive block accounting (measured on the ARWMH twin:
+        # 31 MB vs ~10 MB estimated at d=10, cb=4096), hence the 3x
+        # coefficient; the scoped limit is raised to 100 MB via
+        # CompilerParams at the call site, and this cap targets ~64 MB.
+        per_lane_f32 = 3 * (3 * d * d + 10 * d + 40
+                            + (16 * d if n_frames else 0))
+        cb_cap = max(_LANE, 1 << ((64_000_000 // (4 * per_lane_f32))
                                   .bit_length() - 1))
         cb = _LANE
         while cb * 2 <= min(C, cb_cap, 4096):
@@ -523,6 +530,9 @@ def build_fused_asss(target, config):
                 scratch_shapes=scratch,
             ),
             out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(seed_arr, i0_arr, *inputs)
 
