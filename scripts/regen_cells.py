@@ -106,6 +106,10 @@ def main():
         entry["wall_cold"] = meta_cold["wall_seconds"]
         entry["rate"] = meta_warm["chain_iters_per_sec"]
         entry["driver"] = meta_warm["driver"]
+        # persist walls NOW: the eval below can run tens of minutes and
+        # the queue wraps each cell in `timeout` — a kill there must not
+        # lose the timed passes
+        state_file.write_text(json.dumps(results))
 
         if not args.skip_eval:
             ref = get_reference_draws(

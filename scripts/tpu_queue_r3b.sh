@@ -20,6 +20,13 @@ cd /root/repo
 LOG=/tmp/tpu_queue.log
 export AMT_ARWMH_FUSED=0
 unset AMT_ASSS_FUSED 2>/dev/null || true
+# Batch the eval auction over 8 seeds per device program for ALL targets:
+# the single-instance solver re-enters from the host every ~512 rounds and
+# each re-entry pays the ~0.8 s tunnel round-trip (measured ~60 s/seed on
+# eight-schools), while the batched rounds amortize that 8 ways (the
+# proven kidiq path).  The per-cell Hungarian cross-check still guards
+# seeds 0-1.
+export AMT_EVAL_W_BATCH=8
 echo "=== tpu_queue_r3b start $(date) ===" | tee -a "$LOG"
 
 # 1. w_eval cells, fastest/highest-visibility first.  Each regen does
