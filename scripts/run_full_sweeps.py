@@ -86,17 +86,20 @@ def summarize(results: dict, out_md: Path):
         "* every row is single-run consistent: scripts/regen_cells.py "
         "generates each cell twice in one process (cold then warm; draws "
         "asserted bitwise identical), records BOTH walls, and computes "
-        "the metric rows from exactly those draws.  The cold wall "
-        "includes the one-time program-load/compile cost over the "
-        "remote-TPU tunnel (what a one-shot user pays); the warm wall is "
-        "the steady-state number comparable to the reference's "
-        "in-notebook timings (whose CPU-JAX compiles are negligible).",
-        "* exact 1-1 Wasserstein on all 100 seeds: on-device ε-auction "
-        "(metrics/assignment.py) cross-checked per cell against the "
-        "exact host Hungarian on seeds 0-1 (cold + warm-started solve); "
-        "kidiq (d=4, tie-dense) runs the BATCHED auction — 8 seeds per "
-        "device program share the war rounds — with the same Hungarian "
-        "cross-check.  MMD/RMSE on all seeds on-device; metric protocol "
+        "the metric rows from exactly those draws.  The cold wall is the "
+        "first in-process run: it pays program load over the remote-TPU "
+        "tunnel, plus full XLA compiles when the persistent compile "
+        "cache (/tmp/amt_jax_cache) is empty — measured 71.6 s for the "
+        "eight-schools ARWMH cell cache-cold vs ~5 s cache-warm.  The "
+        "warm wall is the steady-state number comparable to the "
+        "reference's in-notebook timings (whose CPU-JAX compiles are "
+        "negligible).",
+        "* exact 1-1 Wasserstein on all 100 seeds: the BATCHED on-device "
+        "ε-auction (metrics/assignment.py; 8 seeds per device program "
+        "share the war rounds, which amortizes the ~0.8 s/dispatch "
+        "tunnel latency and defuses kidiq's tie-dense d=4 instances), "
+        "cross-checked per cell against the exact host Hungarian on "
+        "seeds 0-1.  MMD/RMSE on all seeds on-device; metric protocol "
         "(rmse/W/mmd) matches the reference eval_*.py.",
         "* reference comparison (BASELINE.md; rmse/W/mmd): eight-schools "
         "ARWMH 0.0745/1.6865/0.0157, ASSS 0.0607/1.7009/0.0148, NUTS "
