@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from adaptive_mcmc_tpu.models import data as _data
 from adaptive_mcmc_tpu.models.base import (
+    _LOG_2PI,
     SiteSpec,
     Target,
     folded_student_t_logpdf,
@@ -33,6 +34,11 @@ from adaptive_mcmc_tpu.models.base import (
     normal_logpdf,
     student_t_logpdf,
 )
+
+# plain float (NOT a jnp scalar): a module-level jnp array would
+# initialise the XLA backend at import time, breaking
+# jax.distributed.initialize in multi-process bootstraps
+_LOG_2PI_T = float(np.float32(_LOG_2PI))
 
 
 def eight_schools_noncentered(dataset: dict | None = None) -> Target:
@@ -100,7 +106,8 @@ def eight_schools_centered(dataset: dict | None = None) -> Target:
     )
 
 
-def diamonds(dataset: dict | None = None) -> Target:
+def diamonds(dataset: dict | None = None, *,
+             suff_stats: bool = True) -> Target:
     """Diamonds GLM (brms-style): in-model predictor centering,
     b ~ N(0,1)^Kc, Intercept ~ StudentT(3,8,10),
     sigma ~ Folded(StudentT(3,0,10)), Y ~ N(Intercept + Xc @ b, sigma).
@@ -110,6 +117,19 @@ def diamonds(dataset: dict | None = None) -> Target:
     recenters inside the model every evaluation —
     run_diamonds_wasserstein.py:25-28 — which XLA would CSE anyway; doing it
     at build time keeps the hot loop a single matvec).
+
+    ``suff_stats`` (default): the Gaussian likelihood depends on the data
+    only through fixed sufficient statistics, so the per-evaluation cost
+    drops from O(N·Kc) (a (5000, 25) matvec + residual pass streamed from
+    HBM every step) to O(Kc²) register math::
+
+        SSE = ‖Y − a·1 − Xc b‖²
+            = ycᵀyc − 2 bᵀ(Xcᵀyc) + N (a − Ȳ)² + bᵀ(XcᵀXc) b
+
+    where yc = Y − Ȳ; the a/b cross-terms vanish because Xc and yc are
+    both centered.  Centering Y keeps fp32 cancellation safe: the
+    difference is taken against the *variance-scale* ycᵀyc, not ‖Y‖².
+    Statistics are accumulated in float64 on the host at build time.
     """
     d = dataset or _data.diamonds()
     X = jnp.asarray(d["X"])
@@ -117,19 +137,50 @@ def diamonds(dataset: dict | None = None) -> Target:
     Kc = X.shape[1] - 1
     Xc = X[:, 1:] - jnp.mean(X[:, 1:], axis=0, keepdims=True)
 
-    def potential(x):
-        intercept, b, log_sigma = x[0], x[1 : 1 + Kc], x[1 + Kc]
-        sigma = jnp.exp(log_sigma)
-        lp = student_t_logpdf(intercept, 3.0, 8.0, 10.0)
-        lp += jnp.sum(normal_logpdf(b))
-        lp += folded_student_t_logpdf(sigma, 3.0, 0.0, 10.0) + log_sigma
-        # HIGHEST: the likelihood matmul must be true fp32 — TPU's default
-        # bf16 passes perturb the potential enough to bias the posterior
-        mu = intercept + jnp.dot(
-            Xc, b, precision=jax.lax.Precision.HIGHEST
-        )  # (N,) — batches of chains become one matmul
-        lp += jnp.sum(normal_logpdf(Y, mu, sigma))
-        return -lp
+    if suff_stats:
+        X64 = np.asarray(d["X"], np.float64)[:, 1:]
+        X64 = X64 - X64.mean(axis=0, keepdims=True)
+        Y64 = np.asarray(d["Y"], np.float64)
+        N = Y64.shape[0]
+        y_bar = Y64.mean()
+        yc64 = Y64 - y_bar
+        ycty = jnp.float32(yc64 @ yc64)
+        xty = jnp.asarray(X64.T @ yc64, jnp.float32)        # (Kc,)
+        gram = jnp.asarray(X64.T @ X64, jnp.float32)        # (Kc, Kc)
+        n_f = jnp.float32(N)
+        y_bar32 = jnp.float32(y_bar)
+
+        def potential(x):
+            intercept, b, log_sigma = x[0], x[1 : 1 + Kc], x[1 + Kc]
+            sigma = jnp.exp(log_sigma)
+            lp = student_t_logpdf(intercept, 3.0, 8.0, 10.0)
+            lp += jnp.sum(normal_logpdf(b))
+            lp += folded_student_t_logpdf(sigma, 3.0, 0.0, 10.0) + log_sigma
+            # HIGHEST: the d×d quadratic form must be true fp32 (same
+            # reason as the dense matmul below)
+            gb = jnp.dot(gram, b, precision=jax.lax.Precision.HIGHEST)
+            da = intercept - y_bar32
+            sse = (ycty - 2.0 * jnp.dot(b, xty) + n_f * da * da
+                   + jnp.dot(b, gb, precision=jax.lax.Precision.HIGHEST))
+            sse = jnp.maximum(sse, 0.0)  # exact-fit numerical floor
+            lp += -0.5 * n_f * (_LOG_2PI_T + 2.0 * log_sigma) \
+                - 0.5 * sse / (sigma * sigma)
+            return -lp
+    else:
+        def potential(x):
+            intercept, b, log_sigma = x[0], x[1 : 1 + Kc], x[1 + Kc]
+            sigma = jnp.exp(log_sigma)
+            lp = student_t_logpdf(intercept, 3.0, 8.0, 10.0)
+            lp += jnp.sum(normal_logpdf(b))
+            lp += folded_student_t_logpdf(sigma, 3.0, 0.0, 10.0) + log_sigma
+            # HIGHEST: the likelihood matmul must be true fp32 — TPU's
+            # default bf16 passes perturb the potential enough to bias the
+            # posterior
+            mu = intercept + jnp.dot(
+                Xc, b, precision=jax.lax.Precision.HIGHEST
+            )  # (N,) — batches of chains become one matmul
+            lp += jnp.sum(normal_logpdf(Y, mu, sigma))
+            return -lp
 
     return Target(
         name="diamonds",

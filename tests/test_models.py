@@ -68,6 +68,43 @@ def test_diamonds_value():
     np.testing.assert_allclose(float(t.potential_fn(x)), -lp, rtol=1e-3)
 
 
+def test_diamonds_suff_stats_matches_dense():
+    """The sufficient-statistic likelihood (default) is algebraically
+    identical to the dense O(N·Kc) evaluation; verify both absolute
+    values and — more importantly — potential DIFFERENCES between
+    nearby points (what MH acceptance consumes) across the
+    posterior-typical region and mild tails."""
+    t_ss = models.diamonds(suff_stats=True)
+    t_dn = models.diamonds(suff_stats=False)
+    rng = np.random.default_rng(7)
+    # posterior-typical-ish points: Intercept near 8, b small, log_sigma
+    # negative-ish; plus wider excursions
+    base = np.zeros(t_ss.dim, np.float32)
+    base[0] = 8.0
+    base[-1] = -1.5
+    pts = base + np.concatenate(
+        [rng.standard_normal((64, t_ss.dim)) * 0.1,
+         rng.standard_normal((64, t_ss.dim)) * 2.0]
+    ).astype(np.float32)
+    pe_ss = jax.vmap(t_ss.potential_fn)(jnp.asarray(pts))
+    pe_dn = jax.vmap(t_dn.potential_fn)(jnp.asarray(pts))
+    # absolute agreement (PE magnitudes reach ~1e5 in the tails; the two
+    # summation orders legitimately differ at f32 rounding)
+    np.testing.assert_allclose(
+        np.asarray(pe_ss), np.asarray(pe_dn), rtol=2e-5, atol=2e-2
+    )
+    # pairwise differences at the typical scale must agree much tighter
+    d_ss = np.asarray(pe_ss[:64] - pe_ss[32:96])
+    d_dn = np.asarray(pe_dn[:64] - pe_dn[32:96])
+    np.testing.assert_allclose(d_ss, d_dn, rtol=1e-3, atol=5e-2)
+    # gradients agree too (NUTS path)
+    g_ss = jax.grad(t_ss.potential_fn)(jnp.asarray(pts[0]))
+    g_dn = jax.grad(t_dn.potential_fn)(jnp.asarray(pts[0]))
+    np.testing.assert_allclose(
+        np.asarray(g_ss), np.asarray(g_dn), rtol=5e-4, atol=5e-3
+    )
+
+
 def test_constrain_unconstrain_roundtrip():
     for t in [
         models.eight_schools_noncentered(),

@@ -113,8 +113,19 @@ def test_initialize_distributed_two_processes():
     coord = f"127.0.0.1:{port}"
     worker = Path(__file__).parent / "_distributed_worker.py"
 
-    env = dict(**__import__("os").environ)
+    import os
+
+    env = dict(**os.environ)
     env.pop("XLA_FLAGS", None)
+    # The axon sitecustomize (loaded via PYTHONPATH) initialises the XLA
+    # backend at interpreter startup when the TPU tunnel is up, which
+    # breaks jax.distributed.initialize ("must be called before any JAX
+    # calls").  The workers are CPU-only by design — scrub it.
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), coord],
@@ -135,3 +146,34 @@ def test_initialize_distributed_two_processes():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid} ok" in out, out
+
+
+def test_package_import_does_not_initialize_backend():
+    """Importing adaptive_mcmc_tpu must not touch the XLA backend: a
+    module-level jnp array anywhere in the package would break
+    jax.distributed.initialize (which must run before ANY backend use)
+    for every multi-process user.  Runs in a scrubbed subprocess so the
+    axon sitecustomize / test session backend don't mask it."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(**os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and ".axon_site" not in p
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu');"
+        "sys.path.insert(0, '/root/repo');"
+        "from jax._src import xla_bridge;"
+        "import adaptive_mcmc_tpu;"
+        "sys.exit(1 if xla_bridge._backends else 0)"
+    )
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, (
+        f"package import initialised the XLA backend\n{r.stderr[-2000:]}"
+    )
