@@ -30,7 +30,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from adaptive_mcmc_tpu.experiments.runner import run_lr_decay  # noqa: E402
 
-LR_TARGETS = ["eight_schools_centered", "diamonds", "kidiq"]
+# diamonds first: its pre-reset artifacts/figures described the obsolete
+# synthetic posterior, so if the round ends mid-family the most valuable
+# regeneration has already happened (the queue runs cells in this order)
+LR_TARGETS = ["diamonds", "eight_schools_centered", "kidiq"]
 # artifact paths keep the eval-target name so the figure layer can pair
 # them with w_eval/gold artifacts
 PATH_NAME = {
