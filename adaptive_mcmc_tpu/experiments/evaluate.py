@@ -32,7 +32,6 @@ import numpy as np
 
 from adaptive_mcmc_tpu.experiments.runner import TARGETS, build_kernel
 from adaptive_mcmc_tpu.metrics import (
-    mmd_heuristic,
     pth_moment_rmse,
     wasserstein_sinkhorn,
 )
@@ -229,13 +228,17 @@ def evaluate_run(
     S = samples.shape[0]
     y = jnp.asarray(reference)
 
+    # rmse/mmd batched into ONE program each: per-seed dispatch costs
+    # ~0.8 s over the remote-TPU tunnel, and mmd's bandwidth + y-y Gram
+    # depend only on the (fixed) reference set
+    from adaptive_mcmc_tpu.metrics.mmd import mmd_heuristic_many
+
+    xs = jnp.asarray(samples)
     rmse = [
-        float(pth_moment_rmse(jnp.asarray(samples[s]), y, p=1.0))
-        for s in range(S)
+        float(v)
+        for v in jax.vmap(lambda x: pth_moment_rmse(x, y, p=1.0))(xs)
     ]
-    mmd = [
-        float(mmd_heuristic(jnp.asarray(samples[s]), y)) for s in range(S)
-    ]
+    mmd = [float(v) for v in mmd_heuristic_many(xs, y)]
     sk = [
         float(wasserstein_sinkhorn(jnp.asarray(samples[s]), y))
         if sinkhorn

@@ -9,6 +9,7 @@ from adaptive_mcmc_tpu.metrics.mmd import (  # noqa: F401
     median_sq_dist,
     mmd2_unbiased,
     mmd_heuristic,
+    mmd_heuristic_many,
 )
 from adaptive_mcmc_tpu.metrics.sinkhorn import (  # noqa: F401
     wasserstein_sinkhorn,

@@ -59,3 +59,28 @@ def mmd_heuristic(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.sqrt(
         jnp.maximum(kxx / n**2 + kyy / m**2 - 2.0 * kxy / (n * m), 0.0)
     )
+
+
+@jax.jit
+def mmd_heuristic_many(xs: jax.Array, y: jax.Array) -> jax.Array:
+    """``mmd_heuristic`` over a batch of sample sets against ONE reference
+    set: xs (S, n, d), y (m, d) -> (S,).
+
+    The bandwidth (median heuristic on y) and the y-y Gram sum depend
+    only on y — per-seed evaluation recomputes both 10k x 10k terms S
+    times and pays one device dispatch per seed (the sweep evals run
+    S = 100 seeds against a fixed reference).  Here they are hoisted and
+    the per-seed terms run under one ``lax.map`` in a single program
+    (sequential, so peak memory stays one (n, m) Gram tile)."""
+    n, m = xs.shape[1], y.shape[0]
+    gamma = 4.0 / median_sq_dist(y)
+    kyy = jnp.sum(gaussian_kernel(y, y, gamma))
+
+    def one(x):
+        kxx = jnp.sum(gaussian_kernel(x, x, gamma))
+        kxy = jnp.sum(gaussian_kernel(x, y, gamma))
+        return jnp.sqrt(jnp.maximum(
+            kxx / n**2 + kyy / m**2 - 2.0 * kxy / (n * m), 0.0
+        ))
+
+    return lax.map(one, xs)

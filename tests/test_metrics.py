@@ -122,6 +122,17 @@ def test_mmd_properties():
     assert abs(m0) < 0.02
 
 
+def test_mmd_heuristic_many_matches_per_seed():
+    """The batched/hoisted mmd path must equal per-seed mmd_heuristic."""
+    from adaptive_mcmc_tpu.metrics import mmd_heuristic_many
+
+    y = jax.random.normal(jax.random.PRNGKey(0), (200, 5))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (7, 180, 5)) * 1.3 + 0.2
+    got = np.asarray(mmd_heuristic_many(xs, y))
+    want = np.asarray([float(mmd_heuristic(xs[s], y)) for s in range(7)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_sinkhorn_sane():
     x, y = _two_clouds(150, 3, shift=1.0)
     w = wasserstein_sinkhorn(x, y)
