@@ -297,6 +297,11 @@ def evaluate_run(
                 if verbose and (s + 1) % 20 == 0:
                     print(f"  [wasserstein] seed {s+1}/{k}", flush=True)
         else:
+            # batches after the first warm-start from the previous
+            # batch's duals (all instances share one reference set);
+            # the Hungarian cross-check therefore also covers the first
+            # warm-started seed (s == B), not just the cold batch
+            prices = None
             for s0 in range(0, k, B):
                 idx = list(range(s0, min(s0 + B, k)))
                 costs = jnp.stack([
@@ -305,13 +310,15 @@ def evaluate_run(
                     )
                     for s in idx
                 ])
-                cols = auction_assignment_batch(costs)
+                cols, prices = auction_assignment_batch(
+                    costs, prices_init=prices, return_prices=True,
+                )
                 ws = [
                     float(jnp.mean(costs[i, rows, cols[i]]))
                     for i in range(len(idx))
                 ]
                 for i, s in enumerate(idx):
-                    if s < hungarian_check_seeds:
+                    if s < hungarian_check_seeds or s == B:
                         w_exact = _wasserstein_worker(
                             (np.asarray(samples[s], np.float64),
                              np.asarray(reference, np.float64))

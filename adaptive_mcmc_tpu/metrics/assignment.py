@@ -279,9 +279,12 @@ def auction_assignment_batch(
     max_rounds: int = 400_000,
     block: int = 1024,
     rounds_per_call: Optional[int] = None,
+    prices_init: Optional[jax.Array] = None,
+    return_prices: bool = False,
 ) -> jax.Array:
     """ε-scaled auction over a BATCH of instances that share one ε
-    schedule.  costs: (B, n, m).  Returns row->col (B, n).
+    schedule.  costs: (B, n, m).  Returns row->col (B, n), or
+    (row->col, prices) when ``return_prices``.
 
     The sweep evals solve ~100 statistically identical instances (one
     per seed, all against the same reference set).  Solving them one at
@@ -292,6 +295,13 @@ def auction_assignment_batch(
     round loop in lockstep (a lane that finishes early no-ops until the
     slowest lane's ε level drains), which costs little because the
     instances are near-identical and need near-identical round counts.
+
+    ``prices_init`` (B0, m) warm-starts the column duals per lane (same
+    ε-CS argument as the single-instance solver: any initial prices are
+    valid with an empty assignment, so the bound is unaffected).  B0 may
+    differ from B — rows are tiled/truncated to fit, since all lanes
+    solve against the same reference set.  A warm start skips the cold
+    ε-scaling schedule (starts at eps_final·scaling_factor).
 
     ε_final uses the max cost range over the batch, so every instance
     gets at least the single-instance optimality bound."""
@@ -306,8 +316,14 @@ def auction_assignment_batch(
     rng = float(jnp.max(costs) - jnp.min(costs))
     if eps_final is None:
         eps_final = max(rng, 1e-6) / (2.0 * n)
-    eps = max(rng / 2.0, eps_final)
-    prices = jnp.zeros((b, m))
+    if prices_init is None:
+        eps = max(rng / 2.0, eps_final)
+        prices = jnp.zeros((b, m))
+    else:
+        eps = eps_final * scaling_factor
+        p0 = jnp.asarray(prices_init, jnp.float32)
+        reps = -(-b // p0.shape[0])  # ceil
+        prices = jnp.tile(p0, (reps, 1))[:b]
     block_small = max(32, min(block // 8, 128))
     while True:
         col_owner = jnp.full((b, m), -1, jnp.int32)
@@ -340,5 +356,5 @@ def auction_assignment_batch(
                     f"eps_final with {bad} instances incomplete — raise "
                     "max_rounds or use the Hungarian solver"
                 )
-            return row_to_col
+            return (row_to_col, prices) if return_prices else row_to_col
         eps = max(eps / scaling_factor, eps_final)

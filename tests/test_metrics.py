@@ -194,3 +194,36 @@ def test_auction_batch_matches_exact():
         w_exact = cost[r, c].mean()
         w = cost[np.arange(300), cols[i]].mean()
         assert abs(w - w_exact) <= 2e-3 * max(1.0, w_exact), (i, w, w_exact)
+
+
+def test_auction_batch_warm_start_matches_exact():
+    """Warm-starting batch i+1 from batch i's duals (eval-sweep pattern,
+    including a smaller trailing batch) keeps every instance within the
+    certified bound of the exact Hungarian solution."""
+    from adaptive_mcmc_tpu.metrics.assignment import auction_assignment_batch
+    from adaptive_mcmc_tpu.metrics.wasserstein import minkowski_cost_matrix
+
+    rng = np.random.default_rng(11)
+    ref = rng.standard_normal((250, 4)).astype(np.float32)
+    us = rng.standard_normal((7, 250, 4)).astype(np.float32)  # 3 + 3 + 1
+    prices = None
+    sols = []
+    for s0 in range(0, 7, 3):
+        batch = us[s0:s0 + 3]
+        costs = jnp.stack([
+            minkowski_cost_matrix(jnp.asarray(u), jnp.asarray(ref))
+            for u in batch
+        ])
+        cols, prices = auction_assignment_batch(
+            costs, block=64, rounds_per_call=512,
+            prices_init=prices, return_prices=True,
+        )
+        sols += [(np.asarray(costs[i], np.float64), np.asarray(cols[i]))
+                 for i in range(len(batch))]
+    assert len(sols) == 7
+    for i, (cost, col) in enumerate(sols):
+        assert sorted(col.tolist()) == list(range(250)), i
+        r, c = scipy.optimize.linear_sum_assignment(cost)
+        w_exact = cost[r, c].mean()
+        w = cost[np.arange(250), col].mean()
+        assert abs(w - w_exact) <= 2e-3 * max(1.0, w_exact), (i, w, w_exact)
