@@ -171,6 +171,30 @@ def get_reference_draws(
     return make_reference_draws(target_name, n_draws, **kw)
 
 
+def ess_columns(samples: np.ndarray, fan_out: int = 1) -> np.ndarray:
+    """Per-seed Geyer ESS across dims: (seeds, draws, dim) -> (seeds, dim).
+
+    ``fan_out`` > 1 means each seed's draw axis interleaves F post-warmup
+    clone chains frame-major (runner._per_seed), so the draws reshape to
+    (frames, F, dim) and ESS treats the clones as chains — the standard
+    multi-chain Stan/NumPyro estimator (infer/diagnostics.py:49).
+    Tabulates what the reference reads off ``mcmc.print_summary()``
+    (posteriordb_eight-schools.ipynb cells 27-29: n_eff 8.3k-10.3k of
+    10k draws)."""
+    from adaptive_mcmc_tpu.infer.diagnostics import effective_sample_size
+
+    s, n, d = samples.shape
+    f = max(1, int(fan_out))
+    if n % f:
+        f = 1
+    x = jnp.asarray(samples).reshape(s, n // f, f, d)
+
+    ess = jax.vmap(effective_sample_size)(x)  # (seeds, dim)
+    # ESS cannot exceed the draw count; the estimator can overshoot on
+    # slightly antithetic chains
+    return np.minimum(np.asarray(ess), float(n))
+
+
 def _wasserstein_worker(args):
     """Host-pool worker: exact 1-1 Wasserstein for one seed (cost matrix in
     numpy, assignment via the native/SciPy solver)."""
@@ -197,6 +221,7 @@ def evaluate_run(
     hungarian_check_seeds: int = 2,
     sinkhorn: bool = True,
     verbose: bool = False,
+    checkpoint: Optional[str | Path] = None,
 ):
     """Per-seed metric rows for a saved w_eval run.  Returns a pandas
     DataFrame (and writes CSV if requested).
@@ -215,7 +240,14 @@ def evaluate_run(
       warm-started solve (seed 1, prices carried over), so a
       warm-start-specific regression is caught in production sweeps too.
     * ``"host"`` — exact Hungarian for every covered seed (O(n³), ~90
-      s/seed/core at n=10k; process pool on multi-core hosts)."""
+      s/seed/core at n=10k; process pool on multi-core hosts).
+
+    ``checkpoint`` names a JSON side-file that persists the exact-W
+    column after every solved batch, keyed by a cheap content signature
+    of the npz.  A killed eval (queue timeout, tunnel drop) resumes
+    mid-cell losing at most one batch of seeds — the finish-proofing
+    the reference gets per-file from its skip-if-exists guard
+    (run_diamonds_lr_decay.py:55-56), here at seed granularity."""
     import concurrent.futures as cf
     import os
 
@@ -225,8 +257,35 @@ def evaluate_run(
 
     with np.load(run_npz, allow_pickle=False) as data:
         samples = data["samples"]  # (seeds, draws, dim)
+        meta = json.loads(str(data["meta"])) if "meta" in data else {}
+    fan_out = int(meta.get("config", {}).get("fan_out", 1))
     S = samples.shape[0]
     y = jnp.asarray(reference)
+
+    ck_path = Path(checkpoint) if checkpoint is not None else None
+    ck_sig = [
+        list(int(v) for v in samples.shape),
+        float(np.asarray(samples[:, 0], np.float64).sum()),
+    ]
+    wass_resume: list[float] = []
+    if ck_path is not None and ck_path.exists():
+        try:
+            st = json.loads(ck_path.read_text())
+            if st.get("sig") == ck_sig:
+                wass_resume = [float(v) for v in st["wass"]]
+                if verbose and wass_resume:
+                    print(
+                        f"  [wasserstein] resuming at seed "
+                        f"{len(wass_resume)} from {ck_path.name}",
+                        flush=True,
+                    )
+        except Exception:
+            pass
+
+    def _ck_save(wass: list[float]):
+        if ck_path is not None:
+            ck_path.parent.mkdir(parents=True, exist_ok=True)
+            ck_path.write_text(json.dumps({"sig": ck_sig, "wass": wass}))
 
     # rmse/mmd batched into ONE program each: per-seed dispatch costs
     # ~0.8 s over the remote-TPU tunnel, and mmd's bandwidth + y-y Gram
@@ -273,7 +332,8 @@ def evaluate_run(
             return 2e-3 * max(1.0, abs(w_exact)) + span / (2.0 * n_draws)
         if B == 1:
             prices = None  # warm-start duals: same reference set per seed
-            for s in range(k):
+            wass = list(wass_resume[:k])
+            for s in range(len(wass), k):
                 w, prices = wasserstein_dist11_p(
                     jnp.asarray(samples[s, :n_draws]), y_dev,
                     solver="auction", prices_init=prices,
@@ -294,6 +354,7 @@ def evaluate_run(
                             f"Hungarian {w_exact:.6f} on seed {s}"
                         )
                 wass.append(float(w))
+                _ck_save(wass)
                 if verbose and (s + 1) % 20 == 0:
                     print(f"  [wasserstein] seed {s+1}/{k}", flush=True)
         else:
@@ -302,7 +363,8 @@ def evaluate_run(
             # the Hungarian cross-check therefore also covers the first
             # warm-started seed (s == B), not just the cold batch
             prices = None
-            for s0 in range(0, k, B):
+            wass = list(wass_resume[:k])
+            for s0 in range(len(wass), k, B):
                 idx = list(range(s0, min(s0 + B, k)))
                 costs = jnp.stack([
                     minkowski_cost_matrix(
@@ -333,6 +395,7 @@ def evaluate_run(
                                 f"exact Hungarian {w_exact:.6f} on seed {s}"
                             )
                 wass.extend(ws)
+                _ck_save(wass)
                 if verbose:
                     print(f"  [wasserstein] seed {len(wass)}/{k}",
                           flush=True)
@@ -357,6 +420,7 @@ def evaluate_run(
                     print(f"  [wasserstein] seed {i+1}/{k}", flush=True)
     wass += [float("nan")] * (S - k)
 
+    ess = ess_columns(samples, fan_out)  # (seeds, dim)
     df = pd.DataFrame(
         {
             "rng_seed": np.arange(S),
@@ -364,6 +428,8 @@ def evaluate_run(
             "wasserstein": wass,
             "sinkhorn": sk,
             "mmd": mmd,
+            "ess_median": np.median(ess, axis=1),
+            "ess_min": np.min(ess, axis=1),
         }
     )
     if out_csv is not None:

@@ -64,6 +64,11 @@ def main():
     )
     ap.add_argument("--out-dir", default="mcmc_runs")
     ap.add_argument("--skip-eval", action="store_true")
+    ap.add_argument("--force-sweep", action="store_true",
+                    help="re-run the cold/warm sweep passes even when the "
+                         "npz + both walls already exist")
+    ap.add_argument("--force-eval", action="store_true",
+                    help="re-run the eval even when the metric row exists")
     args = ap.parse_args()
     out = Path(args.out_dir)
     state_file = out / "results_state.json"
@@ -83,34 +88,57 @@ def main():
             target=target, kernel=kernel, n_seeds=100,
             out_dir=args.out_dir, fan_out=fan, **budget,
         )
-        passes = []
-        for tag in ("cold", "warm"):
-            _reset(out, target, kernel)
-            t0 = time.time()
-            run_w_eval(cfg, verbose=False)
-            wall_outer = time.time() - t0
-            with np.load(npz_path, allow_pickle=False) as d:
-                passes.append(
-                    (d["samples"][:2].copy(), json.loads(str(d["meta"])))
-                )
-            print(f"[{cell}] {tag}: wall={passes[-1][1]['wall_seconds']:.1f}s"
-                  f" (outer {wall_outer:.1f}s,"
-                  f" driver={passes[-1][1]['driver']})", flush=True)
-        if not np.array_equal(passes[0][0], passes[1][0]):
-            raise AssertionError(f"{cell}: warm re-run is nondeterministic")
-        meta_cold, meta_warm = passes[0][1], passes[1][1]
-
         key = f"{target}|{kernel}"
         entry = results.setdefault(key, {})
-        entry["wall"] = meta_warm["wall_seconds"]
-        entry["wall_cold"] = meta_cold["wall_seconds"]
-        entry["rate"] = meta_warm["chain_iters_per_sec"]
-        entry["driver"] = meta_warm["driver"]
-        # persist walls NOW: the eval below can run tens of minutes and
-        # the queue wraps each cell in `timeout` — a kill there must not
-        # lose the timed passes
-        state_file.write_text(json.dumps(results))
+        have_sweep = (
+            npz_path.exists()
+            and entry.get("wall") is not None
+            and entry.get("wall_cold") is not None
+        )
+        if have_sweep and not args.force_sweep:
+            print(f"[{cell}] sweep passes already on disk "
+                  f"(wall={entry['wall']:.1f}s cold={entry['wall_cold']:.1f}s"
+                  f" driver={entry.get('driver')}); skipping to eval",
+                  flush=True)
+        else:
+            passes = []
+            for tag in ("cold", "warm"):
+                _reset(out, target, kernel)
+                t0 = time.time()
+                run_w_eval(cfg, verbose=False)
+                wall_outer = time.time() - t0
+                with np.load(npz_path, allow_pickle=False) as d:
+                    passes.append(
+                        (d["samples"][:2].copy(), json.loads(str(d["meta"])))
+                    )
+                print(f"[{cell}] {tag}:"
+                      f" wall={passes[-1][1]['wall_seconds']:.1f}s"
+                      f" (outer {wall_outer:.1f}s,"
+                      f" driver={passes[-1][1]['driver']})", flush=True)
+            if not np.array_equal(passes[0][0], passes[1][0]):
+                raise AssertionError(
+                    f"{cell}: warm re-run is nondeterministic"
+                )
+            meta_cold, meta_warm = passes[0][1], passes[1][1]
 
+            entry["wall"] = meta_warm["wall_seconds"]
+            entry["wall_cold"] = meta_cold["wall_seconds"]
+            entry["rate"] = meta_warm["chain_iters_per_sec"]
+            entry["driver"] = meta_warm["driver"]
+            # draws changed: stale eval results / W checkpoints must not
+            # survive a sweep re-run
+            for stale in ("rmse_mean", "rmse_std", "w_mean", "w_std",
+                          "mmd_mean", "mmd_std", "ess_med", "ess_min",
+                          "ess_per_sec", "eval_error"):
+                entry.pop(stale, None)
+            # persist walls NOW: the eval below can run tens of minutes and
+            # the queue wraps each cell in `timeout` — a kill there must not
+            # lose the timed passes
+            state_file.write_text(json.dumps(results))
+
+        if entry.get("rmse_mean") is not None and not args.force_eval:
+            print(f"[{cell}] eval row already present; skipping", flush=True)
+            continue
         if not args.skip_eval:
             ref = get_reference_draws(
                 target, 10_000, n_chains=256, num_warmup=3000, thinning=10,
@@ -133,6 +161,7 @@ def main():
                 df = evaluate_run(
                     npz_path, ref, csv, exact_wasserstein_seeds=100,
                     exact_w_batch=batch, sinkhorn=False, verbose=True,
+                    checkpoint=npz_path.with_name(f"wck_{kernel}.json"),
                 )
             except Exception as exc:  # draws are saved; eval is retryable
                 print(f"[{cell}] EVAL FAILED ({exc}); draws kept, "
@@ -140,6 +169,10 @@ def main():
                 entry["eval_error"] = str(exc)
                 state_file.write_text(json.dumps(results))
                 continue
+            entry.pop("eval_error", None)
+            # ESS/sec: median-dim ESS delivered by the whole 100-seed
+            # sweep per second of warm sampling wall (VERDICT r3 #4)
+            wall = entry.get("wall") or float("nan")
             entry.update(
                 rmse_mean=float(df["rmse_means"].mean()),
                 rmse_std=float(df["rmse_means"].std()),
@@ -147,11 +180,16 @@ def main():
                 w_std=float(df["wasserstein"].std()),
                 mmd_mean=float(df["mmd"].mean()),
                 mmd_std=float(df["mmd"].std()),
+                ess_med=float(df["ess_median"].median()),
+                ess_min=float(df["ess_min"].min()),
+                ess_per_sec=float(df["ess_median"].sum() / wall),
             )
             print(f"[{cell}] rmse={entry['rmse_mean']:.4f}"
                   f"±{entry['rmse_std']:.4f}"
                   f" W={entry['w_mean']:.4f}±{entry['w_std']:.4f}"
-                  f" mmd={entry['mmd_mean']:.4f}", flush=True)
+                  f" mmd={entry['mmd_mean']:.4f}"
+                  f" ess_med={entry['ess_med']:.0f}"
+                  f" ess/s={entry['ess_per_sec']:,.0f}", flush=True)
         state_file.write_text(json.dumps(results))
     print("[regen] done")
 

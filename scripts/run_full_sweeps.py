@@ -63,8 +63,9 @@ def summarize(results: dict, out_md: Path):
         "PosteriorDB gold standard) numbers in BASELINE.md for comparison.",
         "",
         "| target | kernel | rmse_means | wasserstein (exact) | mmd "
-        "| chain-iters/s | wall s (warm) | wall s (cold) |",
-        "|---|---|---|---|---|---|---|---|",
+        "| ESS/10k (med) | ESS/sec | chain-iters/s | wall s (warm) "
+        "| wall s (cold) |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     def _pm(r, m, s, fmt="{:.4f}"):
         if r.get(m) is None:
@@ -73,11 +74,20 @@ def summarize(results: dict, out_md: Path):
 
     for (target, kernel), r in sorted(results.items()):
         cold = f"{r['wall_cold']:.1f}" if r.get("wall_cold") else "—"
+        ess = (
+            f"{r['ess_med']:,.0f}" if r.get("ess_med") is not None
+            else "(pending)"
+        )
+        ess_s = (
+            f"{r['ess_per_sec']:,.0f}" if r.get("ess_per_sec") is not None
+            else "—"
+        )
         lines.append(
             f"| {target} | {kernel} "
             f"| {_pm(r, 'rmse_mean', 'rmse_std')} "
             f"| {_pm(r, 'w_mean', 'w_std')} "
             f"| {_pm(r, 'mmd_mean', 'mmd_std')} "
+            f"| {ess} | {ess_s} "
             f"| {r['rate']:,.0f} | {r['wall']:.1f} | {cold} |"
         )
     lines += [
@@ -128,6 +138,14 @@ def summarize(results: dict, out_md: Path):
         "* when a sweep is run with --budget-scale, the thinned draw "
         "count stays 10k per seed and the scale shows up in the run npz "
         "meta (wall entries also reveal it).",
+        "* ESS: per-seed Geyer initial-monotone ESS on the 10k thinned "
+        "draws (infer/diagnostics.py:49; NUTS cells treat the 16 "
+        "fan-out clones as chains).  'ESS/10k (med)' is the median "
+        "across dims and seeds; 'ESS/sec' is the sweep's total "
+        "median-dim ESS (summed over 100 seeds) divided by the warm "
+        "sampling wall.  Reference anchors: n_eff 8.3k-10.3k of 10k "
+        "draws for all three kernels on eight-schools "
+        "(posteriordb_eight-schools.ipynb cells 27-29; BASELINE.md).",
     ]
     stale_dia = [
         k for (t, k), r in sorted(results.items())
