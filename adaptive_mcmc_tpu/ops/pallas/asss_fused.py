@@ -407,13 +407,16 @@ def build_fused_asss(target, config):
         # frame staging stays well inside VMEM: the dominant terms are
         # the (d, d, cb) scale factor (x3: scratch + carry + sigma) and
         # the (fc, d, cb) frame block.  Mosaic's scoped-vmem stack runs
-        # ~3x the naive block accounting (measured on the ARWMH twin:
-        # 31 MB vs ~10 MB estimated at d=10, cb=4096), hence the 3x
-        # coefficient; the scoped limit is raised to 100 MB via
-        # CompilerParams at the call site, and this cap targets ~64 MB.
-        per_lane_f32 = 3 * (3 * d * d + 10 * d + 40
+        # ~3x the naive block accounting on the ARWMH twin (measured:
+        # 31 MB vs ~10 MB estimated at d=10, cb=4096).  This kernel's
+        # own factor is UNMEASURED (the fused drivers are opt-in after
+        # losing the hardware A/B — PERF.md), so budget a 4x factor
+        # against a ~48 MB target: overruns fail loudly at compile
+        # against the 100 MB scoped limit set via CompilerParams at the
+        # call site, never silently.
+        per_lane_f32 = 4 * (3 * d * d + 10 * d + 40
                             + (16 * d if n_frames else 0))
-        cb_cap = max(_LANE, 1 << ((64_000_000 // (4 * per_lane_f32))
+        cb_cap = max(_LANE, 1 << ((48_000_000 // (4 * per_lane_f32))
                                   .bit_length() - 1))
         cb = _LANE
         while cb * 2 <= min(C, cb_cap, 4096):

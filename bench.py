@@ -30,10 +30,15 @@ BASE_ASSS_ES = 42_400.0    # eight-schools ASSS, cell 29
 BASE_NUTS_ES = 10_400.0    # eight-schools NUTS, cell 27
 BASE_ASSS_DIAMONDS = 3_672.0  # diamonds ASSS, diamonds ipynb cell 51
 # The reference exposes SA only as a kernel baseline and never records a
-# rate for it (numpyro_kernels.py:16-73, no notebook cell) — the SA extra's
-# vs_baseline divides by the closest recorded baseline (ASSS eight-schools),
-# flagged in the metric's baseline_note.
-BASE_SA_PROXY = BASE_ASSS_ES
+# rate for it (numpyro_kernels.py:16-73, no notebook cell).  The SA
+# denominator is therefore an IN-REPO measurement: this framework's own SA
+# kernel, single chain, on this host's CPU (scripts/sa_cpu_baseline.py,
+# 2026-08-18: 9,112.9 chain-iters/s) — the same single-chain-CPU setting
+# the other baselines come from.  Note SA's transition is ~N=102x heavier
+# than ARWMH's (one ensemble of max(102, 2d) points per chain, N
+# leave-one-out covariance factors per step), so its chain-iters/s is not
+# comparable across kernels, only across platforms.
+BASE_SA_CPU = 9_112.9
 
 
 def time_kernel(kernel, n_chains, *, warmup_steps, timed_steps, n_blocks=3,
@@ -157,9 +162,12 @@ def main() -> None:
          "vs_baseline": round(asss_dia_rate / BASE_ASSS_DIAMONDS, 2) if asss_dia_rate == asss_dia_rate else 0.0},
         {"metric": "sa_eight_schools_1024chains",
          "value": val(sa_rate), "unit": "chain_iters_per_sec",
-         "vs_baseline": round(sa_rate / BASE_SA_PROXY, 2) if sa_rate == sa_rate else 0.0,
-         "baseline_note": "no reference-recorded SA rate; ratio uses the "
-                          "reference ASSS eight-schools rate as proxy"},
+         "vs_baseline": round(sa_rate / BASE_SA_CPU, 2) if sa_rate == sa_rate else 0.0,
+         "baseline_note": "no reference-recorded SA rate exists; "
+                          "denominator is this framework's own "
+                          "single-chain CPU SA rate (9,113 it/s, "
+                          "scripts/sa_cpu_baseline.py) — each SA "
+                          "chain-iter updates a 102-point ensemble"},
     ]
     print(
         json.dumps(

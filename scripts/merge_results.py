@@ -13,6 +13,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Everything here (ESS FFTs, table rendering) is host work; grabbing the
+# remote TPU would contend with whatever sweep/eval is running.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from run_full_sweeps import summarize  # noqa: E402
 
 

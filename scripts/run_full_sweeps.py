@@ -52,6 +52,44 @@ KERNEL_ORDER = ["arwmh", "asss", "nuts"]
 FAN_OUT = {"nuts": 16, "asss": 1, "arwmh": 1}
 
 
+def _quadrature_parity_row(out_dir: str = "mcmc_runs") -> str:
+    """Tabulated non-circular kidiq moments parity (VERDICT r3 #8): pooled
+    sample moments of each kidiq cell vs the sampler-independent
+    quadrature truth (exact OLS beta + 1-D log-sigma quadrature,
+    experiments/quadrature.py).  Returns '' when no kidiq artifacts
+    exist yet."""
+    import numpy as np
+
+    base = Path(out_dir) / "w_eval" / "kidiq"
+    cells = sorted(base.glob("*.npz")) if base.exists() else []
+    if not cells:
+        return ""
+    from adaptive_mcmc_tpu.experiments.quadrature import kidiq_truth
+
+    tr = kidiq_truth()
+    t_mean = np.concatenate([tr["mean_beta"], [tr["mean_log_sigma"]]])
+    t_sd = np.concatenate([tr["sd_beta"], [tr["sd_log_sigma"]]])
+    lines = [
+        "Moments parity vs quadrature truth (pooled 100 seeds x 10k "
+        "draws; comparison space [beta(3), log_sigma]):",
+        "",
+        "| kernel | max |mean err| / truth sd | sd ratio range |",
+        "|---|---|---|",
+    ]
+    for npz in cells:
+        with np.load(npz, allow_pickle=False) as d:
+            s = d["samples"].reshape(-1, d["samples"].shape[-1])
+        m = s.mean(axis=0)
+        sd = s.std(axis=0)
+        zerr = float(np.max(np.abs(m - t_mean) / t_sd))
+        ratio = sd / t_sd
+        lines.append(
+            f"| {npz.stem} | {zerr:.3f} | "
+            f"[{ratio.min():.3f}, {ratio.max():.3f}] |"
+        )
+    return "\n".join(lines)
+
+
 def summarize(results: dict, out_md: Path):
     lines = [
         "# RESULTS — w_eval reproduction (this framework, one TPU v5e chip)",
@@ -146,7 +184,31 @@ def summarize(results: dict, out_md: Path):
         "sampling wall.  Reference anchors: n_eff 8.3k-10.3k of 10k "
         "draws for all three kernels on eight-schools "
         "(posteriordb_eight-schools.ipynb cells 27-29; BASELINE.md).",
+        "",
+        "## kidiq comparability (final form)",
+        "",
+        "kidiq ABSOLUTE metric values are not comparable to the "
+        "reference's kidiq table and cannot be made so in this "
+        "environment: the real kidiq dataset lives in PosteriorDB "
+        "(zero-egress blocked, docs/DATA.md), and — unlike diamonds — "
+        "no gold draws are checked into the reference repo to "
+        "reconstruct sufficient statistics from (the reference ships "
+        "gold draws only for diamonds, "
+        "python/mcmc_runs/diamonds-example-references.pkl; its kidiq "
+        "eval reads PosteriorDB directly, eval_kidiq_kidscore.py:57-91)."
+        "  What IS comparable: (a) CROSS-KERNEL ordering and spreads on "
+        "the same synthetic posterior (all kernels graded against one "
+        "gold standard), and (b) NON-CIRCULAR absolute truth via "
+        "quadrature: the synthetic kidiq posterior's exact moments come "
+        "from closed-form OLS beta + 1-D sigma quadrature "
+        "(experiments/quadrature.py), independent of any sampler, and "
+        "the gold-standard draws are asserted against them "
+        "(tests/test_models.py quadrature tests; tabulated "
+        "moments-parity row below when artifacts are present).",
     ]
+    qrow = _quadrature_parity_row()
+    if qrow:
+        lines += ["", qrow]
     stale_dia = [
         k for (t, k), r in sorted(results.items())
         if t == "diamonds" and not r.get("wall_cold")
