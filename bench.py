@@ -150,19 +150,39 @@ def main() -> None:
         # json.dumps would emit invalid bare NaN for a failed kernel
         return round(r, 1) if r == r else 0.0
 
+    def ess_per_sec(cell):
+        """Sweep-measured ESS/sec for the matching w_eval cell (VERDICT r3
+        #4): per-seed Geyer ESS over the reference-budget sweep divided by
+        its warm sampling wall — quality-adjusted throughput, from the same
+        artifacts RESULTS.md tabulates (mcmc_runs/results_state.json)."""
+        try:
+            state_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "mcmc_runs", "results_state.json")
+            with open(state_path) as f:
+                entry = json.load(f).get(cell, {})
+            v = entry.get("ess_per_sec")
+            return round(float(v), 1) if v is not None else None
+        except Exception:
+            return None
+
     extras = [
         {"metric": "asss_eight_schools_4096chains",
          "value": val(asss_rate), "unit": "chain_iters_per_sec",
-         "vs_baseline": round(asss_rate / BASE_ASSS_ES, 2) if asss_rate == asss_rate else 0.0},
+         "vs_baseline": round(asss_rate / BASE_ASSS_ES, 2) if asss_rate == asss_rate else 0.0,
+         "ess_per_sec": ess_per_sec("eight_schools|asss")},
         {"metric": "nuts_eight_schools_1024chains",
          "value": val(nuts_rate), "unit": "chain_iters_per_sec",
-         "vs_baseline": round(nuts_rate / BASE_NUTS_ES, 2) if nuts_rate == nuts_rate else 0.0},
+         "vs_baseline": round(nuts_rate / BASE_NUTS_ES, 2) if nuts_rate == nuts_rate else 0.0,
+         "ess_per_sec": ess_per_sec("eight_schools|nuts")},
         {"metric": "asss_diamonds_1024chains",
          "value": val(asss_dia_rate), "unit": "chain_iters_per_sec",
-         "vs_baseline": round(asss_dia_rate / BASE_ASSS_DIAMONDS, 2) if asss_dia_rate == asss_dia_rate else 0.0},
+         "vs_baseline": round(asss_dia_rate / BASE_ASSS_DIAMONDS, 2) if asss_dia_rate == asss_dia_rate else 0.0,
+         "ess_per_sec": ess_per_sec("diamonds|asss")},
         {"metric": "sa_eight_schools_1024chains",
          "value": val(sa_rate), "unit": "chain_iters_per_sec",
          "vs_baseline": round(sa_rate / BASE_SA_CPU, 2) if sa_rate == sa_rate else 0.0,
+         "ess_per_sec": ess_per_sec("eight_schools|sa"),
          "baseline_note": "no reference-recorded SA rate exists; "
                           "denominator is this framework's own "
                           "single-chain CPU SA rate (9,113 it/s, "
@@ -176,6 +196,11 @@ def main() -> None:
                 "value": val(arwmh_rate),
                 "unit": "chain_iters_per_sec",
                 "vs_baseline": round(arwmh_rate / BASE_ARWMH_ES, 2) if arwmh_rate == arwmh_rate else 0.0,
+                "ess_per_sec": ess_per_sec("eight_schools|arwmh"),
+                "ess_note": "ess_per_sec fields are sweep-measured: "
+                            "Geyer ESS over the matching reference-budget "
+                            "w_eval cell / its warm wall "
+                            "(mcmc_runs/results_state.json; RESULTS.md)",
                 "extras": extras,
             }
         )
