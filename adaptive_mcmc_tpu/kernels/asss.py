@@ -164,7 +164,8 @@ def _shrinkage_batched(
         cond, body, (keys_loop, theta, theta_min, theta_max, iters0, bad0)
     )
     theta_f = jnp.where(iters_f >= max_iters, 0.0, theta_f)
-    return z * jnp.cos(theta_f)[:, None] + v * jnp.sin(theta_f)[:, None]
+    z_f = z * jnp.cos(theta_f)[:, None] + v * jnp.sin(theta_f)[:, None]
+    return z_f, iters_f
 
 
 def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
@@ -194,7 +195,11 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
             rng_key=jax.random.split(key_run, n_chains),
         )
 
-    def step(state: ASSSState) -> ASSSState:
+    def _transition(state: ASSSState):
+        """One lockstep transition; also returns the per-chain shrinkage
+        trip counts so diagnostics (``probe_trips``) can attribute step
+        cost to the data-dependent trip distribution without touching the
+        production path (``step`` discards them)."""
         loc, scale = state.adapt_state
         x = state.position
         C = x.shape[0]
@@ -217,7 +222,7 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
         u_t = jax.vmap(jax.random.uniform)(keys_t)
         t_pe = pe_t - jnp.log(u_t)
 
-        z_new = _shrinkage_batched(
+        z_new, trips = _shrinkage_batched(
             keys_shrink, z, v, t_pe, transformed_pe,
             config.eps, config.max_shrinkage_iters,
         )
@@ -240,7 +245,7 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
             adapt_new = state.adapt_state
             as_change = jnp.zeros((C,))
 
-        return ASSSState(
+        new_state = ASSSState(
             i=state.i + 1,
             position=x_new,
             potential_energy=pe_new,
@@ -248,6 +253,29 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
             as_change=as_change,
             rng_key=keys,
         )
+        return new_state, trips
+
+    def step(state: ASSSState) -> ASSSState:
+        return _transition(state)[0]
+
+    def probe_trips(state: ASSSState, n_steps: int):
+        """Diagnostic: advance ``n_steps`` lockstep transitions from
+        ``state`` and return (final_state, per-chain MEAN shrinkage trips
+        per transition).  Full dynamics — identical draws to ``step`` —
+        so the trip distribution measured is the one the timed step pays
+        (PERF.md ablation; VERDICT r3 weak #6)."""
+        C = state.position.shape[0]
+
+        def body(carry, _):
+            s, tot = carry
+            s2, trips = _transition(s)
+            return (s2, tot + trips.astype(jnp.float32)), None
+
+        (s_f, tot), _ = lax.scan(
+            body, (state, jnp.zeros((C,), jnp.float32)), None,
+            length=n_steps,
+        )
+        return s_f, tot / float(n_steps)
 
     def _drive(state: ASSSState, n_steps: int, n_frames: int, thinning: int):
         """Advance every chain by exactly ``n_steps`` transitions with the
@@ -550,4 +578,5 @@ def asss(target, config: ASSSConfig = ASSSConfig()) -> Kernel:
         step_n=jax.jit(step_n, static_argnames=("n_steps",)),
         collect_n=jax.jit(collect_n, static_argnames=("n_frames", "thinning")),
         collect_fields=("position", "potential_energy", "as_change"),
+        probe=jax.jit(probe_trips, static_argnames=("n_steps",)),
     )

@@ -50,6 +50,10 @@ class Kernel:
     # Field names ``collect_n`` buffers (runners fall back to the scan
     # collect loop when they need a field not listed here).
     collect_fields: tuple = ()
+    # Optional diagnostics probe ``probe(state, n_steps) -> (state, info)``
+    # exposing kernel-internal cost drivers (e.g. ASSS per-chain mean
+    # shrinkage trips) without widening the production state.
+    probe: Any = None
 
 
 # ---------------------------------------------------------------------------

@@ -249,3 +249,20 @@ def test_collect_n_drift_production_unroll():
         pos[..., 0].ravel(), np.asarray(want.position)[:, 0]
     )
     assert ks.pvalue > 1e-4, ks
+
+
+def test_probe_trips_matches_step():
+    """kernel.probe (PERF trip diagnostics) must replay step's exact
+    dynamics: same draws bitwise, and trip means in the sane sub-50
+    range (bail-out cap)."""
+    t = models.eight_schools_noncentered()
+    k = asss(t, ASSSConfig(num_warmup=0))
+    state = k.init(jax.random.PRNGKey(3), n_chains=16)
+    s_step = k.step(k.step(state))
+    s_probe, mean_trips = k.probe(state, 2)
+    np.testing.assert_array_equal(
+        np.asarray(s_step.position), np.asarray(s_probe.position)
+    )
+    mt = np.asarray(mean_trips)
+    assert mt.shape == (16,)
+    assert (mt >= 0).all() and (mt <= 50).all()
