@@ -120,17 +120,30 @@ def _auction_chunk(benefit, prices, col_owner, row_to_col, eps, max_rounds,
         return jnp.any(row_to_col < 0) & (it < max_rounds)
 
     def body(val):
-        # SCATTER-FREE round: every per-column/per-row combine is a dense
-        # masked reduction over a (block, ·) slice.  TPU lowers scatters
-        # to serialized per-update loops (and vmapped scatters serialize
-        # per lane), which made scatter-based rounds latency-bound at
-        # ~1k updates/round; the dense masks are plain VPU work at the
-        # same O(block·m) traffic as the bid gather itself.
+        # GATHER- AND SCATTER-FREE round: every per-column/per-row combine
+        # is a dense masked reduction over a (block, ·) slice.  TPU lowers
+        # scatters to serialized per-update loops (and vmapped scatters
+        # serialize per lane), and it lowers element-indexed GATHERS the
+        # same way — an xprof trace of the production shape (B=8, n=m=10k)
+        # showed the three dynamic gathers of the previous displacement
+        # logic costing ~2.3 ms of the ~2.7 ms round, independent of
+        # block width.  The dense masks are plain VPU work at the same
+        # O(block·m) traffic as the bid row-gather itself (which stays: a
+        # contiguous-row gather lowers well, ~0.13 ms for (1024, 10k)).
         prices, col_owner, row_to_col, it = val
         unassigned = row_to_col < 0                      # (n,)
-        idx = jnp.nonzero(unassigned, size=block, fill_value=n)[0].astype(
-            jnp.int32
-        )                                                # (block,) ascending
+        # first `block` unassigned row indices, ascending, padded with n:
+        # top_k of the negated masked iota — jnp.nonzero(size=block) lowers
+        # to a serialized n-element scatter on TPU (xprof: 0.7 ms/round at
+        # B=8, n=10k, the single hottest op); top_k is a native sort
+        # network
+        score = jnp.where(unassigned, rows, n)
+        k = min(block, n)
+        idx = (-lax.top_k(-score, k)[0]).astype(jnp.int32)  # ascending
+        if k < block:  # static: pad to the block width with inert lanes
+            idx = jnp.concatenate(
+                [idx, jnp.full((block - k,), n, jnp.int32)]
+            )
         valid = idx < n
         # padded lanes gather 0-benefit rows; their bids are masked below
         vals = (
@@ -141,29 +154,41 @@ def _auction_chunk(benefit, prices, col_owner, row_to_col, eps, max_rounds,
         j1 = jnp.argmax(vals, axis=-1).astype(jnp.int32)
         masked = jnp.where(cols[None, :] == j1[:, None], -jnp.inf, vals)
         v2 = jnp.max(masked, axis=-1)
-        bid = prices[j1] + (v1 - v2) + eps
+        hit = cols[None, :] == j1[:, None]               # (block, m)
+        # prices[j1] densely: v1 already is benefit[idx, j1] - prices[j1]
+        p_j1 = jnp.max(jnp.where(hit, prices[None, :], -jnp.inf), axis=-1)
+        bid = p_j1 + (v1 - v2) + eps
         bid = jnp.where(valid, bid, -jnp.inf)
         # best bid per column: dense masked column-max over the block
-        hit = cols[None, :] == j1[:, None]               # (block, m)
         bids_m = jnp.where(hit, bid[:, None], -jnp.inf)
         win_bid = jnp.max(bids_m, axis=0)                # (m,)
         got_bid = jnp.isfinite(win_bid)
-        # winner among tied top bidders: first block position (= lowest
-        # row index, idx is ascending) reaching the column max
-        first = jnp.argmax(bids_m >= win_bid[None, :], axis=0)  # (m,)
-        win_row = jnp.where(got_bid, idx[first], n)      # (m,)
-        # displace previous owners of re-auctioned columns (gather, not
-        # scatter: a row is displaced iff its column got a new owner)
-        j_safe = jnp.where(row_to_col >= 0, row_to_col, 0)
-        displaced = (
-            (row_to_col >= 0)
-            & got_bid[j_safe]
-            & (win_row[j_safe] != rows)
+        # winner among tied top bidders: lowest row index reaching the
+        # column max (idx is ascending, so min-idx == first tied lane).
+        # Dense min-reduce — `idx[argmax(...)]` was an (m,)-indexed gather
+        # into idx, which TPU serializes (xprof: 0.4 ms/round, the last
+        # block-independent op in the body)
+        tied = bids_m >= win_bid[None, :]                # (block, m)
+        win_row = jnp.min(jnp.where(tied, idx[:, None], n), axis=0)
+        win_row = jnp.where(got_bid, win_row, n)         # (m,)
+        # per-lane view of its column's outcome, via the SAME dense hit
+        # mask (no gathers): did lane b's column change owner, and to whom
+        new_owner_b = jnp.max(
+            jnp.where(hit & got_bid[None, :], win_row[None, :], -1), axis=-1
+        )                                                # (block,)
+        # displace previous owners: row i is displaced iff some lane bid
+        # its column (got_bid only arises from this round's lanes) and
+        # the column's new owner is not i
+        displ_hit = (
+            (row_to_col[None, :] == j1[:, None])         # (block, n)
+            & (new_owner_b >= 0)[:, None]
+            & (new_owner_b[:, None] != rows[None, :])
         )
+        displaced = jnp.any(displ_hit, axis=0)
         row_to_col = jnp.where(displaced, -1, row_to_col)
         # install winners densely: block lane b won column j1[b] iff the
         # column chose it back
-        won = valid & (win_row.at[j1].get(mode="fill", fill_value=n) == idx)
+        won = valid & (new_owner_b == idx)
         hit_row = won[:, None] & (idx[:, None] == rows[None, :])  # (block,n)
         new_col = jnp.max(
             jnp.where(hit_row, j1[:, None], -1), axis=0
@@ -222,11 +247,22 @@ def auction_assignment(
         prices = jnp.asarray(prices_init, jnp.float32)
     # Endgame: the last few unassigned rows fight bidding wars whose
     # length scales like (value gap)/ε — thousands of rounds at small ε.
-    # A full-width round pays O(block·m) for what is then a handful of
-    # live lanes (measured: >80% of a cold n=10k solve spent in rounds
-    # with ≤4 unassigned rows).  Once the pool fits, switch to a narrow
-    # block so war rounds cost ~µs instead of ~ms.
-    block_small = max(32, min(block // 8, 128))
+    # Round cost scales with block width now that the body is fully
+    # gather-free (27 µs at block=16 vs 2.6 ms at block=1024 on the
+    # n=10k production shape), so match the block to the live pool:
+    # wide while everyone bids, then 128, then 16 for the war endgame
+    # (measured: >80% of a cold n=10k solve is rounds with ≤4 live rows).
+    def _tier(left):
+        # per-call round budgets keep each device program ~0.2-1 s so the
+        # host re-tiers as the pool drains (the while cond only exits at
+        # left == 0, so an oversized wide call burns ms-rounds on a
+        # nearly-drained pool)
+        if left > 128:
+            return block, min(64, rounds_per_call)
+        if left > 16:
+            return min(128, block), min(1_024, rounds_per_call)
+        return min(16, block), min(32_768, rounds_per_call)
+
     while True:
         col_owner = jnp.full((m,), -1, jnp.int32)
         row_to_col = jnp.full((n,), -1, jnp.int32)
@@ -235,18 +271,11 @@ def auction_assignment(
             left = int(jnp.sum(row_to_col < 0))
             if left == 0:
                 break
-            if left > block_small:
-                rounds = max(512, min(rounds_per_call, 8 * n // block))
-                prices, col_owner, row_to_col = _auction_chunk(
-                    benefit, prices, col_owner, row_to_col, eps,
-                    rounds, block,
-                )
-            else:
-                rounds = rounds_per_call
-                prices, col_owner, row_to_col = _auction_chunk(
-                    benefit, prices, col_owner, row_to_col, eps,
-                    rounds, block_small,
-                )
+            blk, rounds = _tier(left)
+            prices, col_owner, row_to_col = _auction_chunk(
+                benefit, prices, col_owner, row_to_col, eps,
+                rounds, blk,
+            )
             spent += rounds
         if eps <= eps_final:
             if int(jnp.sum(row_to_col < 0)) > 0:
@@ -308,10 +337,10 @@ def auction_assignment_batch(
     costs = jnp.asarray(costs, jnp.float32)
     b, n, m = costs.shape
     if rounds_per_call is None:
-        # keep each device program inside the same total-work envelope as
-        # the proven single-instance config (8192 rounds × 1024×m slices):
-        # longer programs have tripped the remote worker's watchdog
-        rounds_per_call = max(256, (8_192 * 1_024) // (b * block))
+        # cap only: the block-tier ladder already keeps each device
+        # program at ~0.2-1 s of work (longer programs have tripped the
+        # remote worker's watchdog)
+        rounds_per_call = 32_768
     benefit = -costs
     rng = float(jnp.max(costs) - jnp.min(costs))
     if eps_final is None:
@@ -324,7 +353,16 @@ def auction_assignment_batch(
         p0 = jnp.asarray(prices_init, jnp.float32)
         reps = -(-b // p0.shape[0])  # ceil
         prices = jnp.tile(p0, (reps, 1))[:b]
-    block_small = max(32, min(block // 8, 128))
+    def _tier(left):
+        # block-width ladder (see auction_assignment): round cost scales
+        # with block now that the body is gather-free, so match the block
+        # to the live pool and let war rounds cost ~30 µs instead of ~ms
+        if left > 128:
+            return block, min(64, rounds_per_call)
+        if left > 16:
+            return min(128, block), min(1_024, rounds_per_call)
+        return min(16, block), min(32_768, rounds_per_call)
+
     while True:
         col_owner = jnp.full((b, m), -1, jnp.int32)
         row_to_col = jnp.full((b, n), -1, jnp.int32)
@@ -335,18 +373,11 @@ def auction_assignment_batch(
             left = int(jnp.max(jnp.sum(row_to_col < 0, axis=1)))
             if left == 0:
                 break
-            if left > block_small:
-                rounds = max(512, min(rounds_per_call, 8 * n // block))
-                prices, col_owner, row_to_col = _auction_chunk_batch(
-                    benefit, prices, col_owner, row_to_col,
-                    jnp.float32(eps), rounds, block,
-                )
-            else:
-                rounds = rounds_per_call
-                prices, col_owner, row_to_col = _auction_chunk_batch(
-                    benefit, prices, col_owner, row_to_col,
-                    jnp.float32(eps), rounds, block_small,
-                )
+            blk, rounds = _tier(left)
+            prices, col_owner, row_to_col = _auction_chunk_batch(
+                benefit, prices, col_owner, row_to_col,
+                jnp.float32(eps), rounds, blk,
+            )
             spent += rounds
         if eps <= eps_final:
             bad = int(jnp.sum(jnp.any(row_to_col < 0, axis=1)))
