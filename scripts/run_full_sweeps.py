@@ -222,12 +222,30 @@ def summarize(results: dict, out_md: Path):
             "scripts/tpu_queue_r3.sh); rows with a cold-wall entry are "
             "already real-posterior runs."
         )
+    asss_std = (results.get(("eight_schools", "asss")) or {}).get("rmse_std")
+    spread_now = (
+        f"The current regenerated cell's across-seed rmse std is "
+        f"{asss_std:.4f}"
+        + (
+            " — inside the reference's own three-kernel band "
+            "(0.0146-0.0177), so the round-3 excess has dissolved with "
+            "the pipelined-driver regeneration; the decomposition below "
+            "is kept because it explains the mechanism that produced the "
+            "earlier ~0.021 spread and still governs the first sampling "
+            "quarter."
+            if asss_std is not None and asss_std <= 0.0177
+            else " vs the reference's 0.0146 (BASELINE.md:26)."
+        )
+        if asss_std is not None
+        else "Across-seed rmse std of the round-3 sweep was ~0.021 vs "
+             "the reference's 0.0146 (BASELINE.md:26)."
+    )
     lines += [
         "",
-        "## Why the eight-schools ASSS rmse spread exceeds the reference's",
+        "## The eight-schools ASSS rmse spread vs the reference's",
         "",
-        "Across-seed rmse std here ~0.021 vs the reference's 0.0146 "
-        "(BASELINE.md:26).  Three-part decomposition "
+        spread_now
+        + "  Three-part decomposition of the round-3 spread "
         "(scripts/asss_spread_analysis.py, scripts/_asss_reset_ab.py):",
         "",
         "1. The draws are at reference mixing parity: per-dim Geyer ESS "
