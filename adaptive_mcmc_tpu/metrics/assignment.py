@@ -207,7 +207,7 @@ def auction_assignment(
     cost: jax.Array,
     eps_final: Optional[float] = None,
     scaling_factor: float = 10.0,
-    max_rounds: int = 400_000,
+    max_rounds: int = 4_000_000,
     block: int = 1024,
     rounds_per_call: int = 8_192,
     prices_init: Optional[jax.Array] = None,
@@ -305,7 +305,7 @@ def auction_assignment_batch(
     costs: jax.Array,
     eps_final: Optional[float] = None,
     scaling_factor: float = 10.0,
-    max_rounds: int = 400_000,
+    max_rounds: int = 4_000_000,
     block: int = 1024,
     rounds_per_call: Optional[int] = None,
     prices_init: Optional[jax.Array] = None,
