@@ -227,3 +227,29 @@ def test_auction_batch_warm_start_matches_exact():
         w_exact = cost[r, c].mean()
         w = cost[np.arange(250), col].mean()
         assert abs(w - w_exact) <= 2e-3 * max(1.0, w_exact), (i, w, w_exact)
+
+
+def test_auction_batch_tie_dense():
+    """kidiq-regime regression: low-dim clouds with exactly duplicated
+    points produce tie-dense cost matrices whose endgame price wars
+    exhausted the old 400k round budget (round 4).  The batched auction
+    must still terminate with a complete assignment within its
+    certified bound."""
+    from adaptive_mcmc_tpu.metrics.assignment import auction_assignment_batch
+
+    rng = np.random.default_rng(7)
+    n, d, B = 400, 2, 3
+    base = rng.standard_normal((n // 4, d)).astype(np.float32)
+    x = np.tile(base, (4, 1))                      # 4x duplicated points
+    ys = [rng.standard_normal((n, d)).astype(np.float32) for _ in range(B)]
+    costs = np.stack([
+        np.linalg.norm(x[:, None, :] - y[None, :, :], axis=-1) for y in ys
+    ])
+    cols = np.asarray(auction_assignment_batch(jnp.asarray(costs), block=64))
+    for i in range(B):
+        assert sorted(cols[i].tolist()) == list(range(n))
+        got = costs[i][np.arange(n), cols[i]].mean()
+        r, c = scipy.optimize.linear_sum_assignment(costs[i])
+        opt = costs[i][r, c].mean()
+        bound = (costs[i].max() - costs[i].min()) / (2 * n)
+        assert got - opt <= bound + 1e-6, (i, got, opt, bound)
