@@ -144,9 +144,25 @@ def diamonds(dataset: dict | None = None, *,
         N = Y64.shape[0]
         y_bar = Y64.mean()
         yc64 = Y64 - y_bar
-        ycty = jnp.float32(yc64 @ yc64)
-        xty = jnp.asarray(X64.T @ yc64, jnp.float32)        # (Kc,)
-        gram = jnp.asarray(X64.T @ X64, jnp.float32)        # (Kc, Kc)
+        # Cancellation-free form of the exactly-quadratic SSE:
+        #   SSE(a, b) = SSE_min + N (a − Ȳ)² + ‖Lᵀ(b − b̂)‖²,
+        # b̂ = (XcᵀXc)⁻¹ Xcᵀyc (OLS), L = chol(XcᵀXc), all built in f64.
+        # The textbook expansion ycᵀyc − 2bᵀXcᵀyc + bᵀXcᵀXc b evaluates
+        # three ~|ycᵀyc|-sized terms whose f32 rounding survives the
+        # near-total cancellation: at the diamonds design (cond(XcᵀXc)
+        # ≈ 3.4e5) the induced potential-gradient error (~1.0 at the
+        # posterior mean vs f64 truth) systematically shifted the
+        # posterior mean of the collinear b coefficients by ~0.08 gold-sd
+        # (measured round 4, w_eval rmse 0.0447 vs reference 0.0157).
+        # Here every runtime term is posterior-scale, so f32 is exact to
+        # working precision; same O(Kc²) cost.
+        gram64 = X64.T @ X64
+        xty64 = X64.T @ yc64
+        b_hat64 = np.linalg.solve(gram64, xty64)
+        L64 = np.linalg.cholesky(gram64)
+        sse_min = jnp.float32(yc64 @ yc64 - b_hat64 @ xty64)
+        lt = jnp.asarray(L64.T, jnp.float32)               # (Kc, Kc)
+        b_hat = jnp.asarray(b_hat64, jnp.float32)          # (Kc,)
         n_f = jnp.float32(N)
         y_bar32 = jnp.float32(y_bar)
 
@@ -156,13 +172,12 @@ def diamonds(dataset: dict | None = None, *,
             lp = student_t_logpdf(intercept, 3.0, 8.0, 10.0)
             lp += jnp.sum(normal_logpdf(b))
             lp += folded_student_t_logpdf(sigma, 3.0, 0.0, 10.0) + log_sigma
-            # HIGHEST: the d×d quadratic form must be true fp32 (same
-            # reason as the dense matmul below)
-            gb = jnp.dot(gram, b, precision=jax.lax.Precision.HIGHEST)
+            # HIGHEST: the d×d matvec must be true fp32 (same reason as
+            # the dense matmul below)
+            u = jnp.dot(lt, b - b_hat,
+                        precision=jax.lax.Precision.HIGHEST)
             da = intercept - y_bar32
-            sse = (ycty - 2.0 * jnp.dot(b, xty) + n_f * da * da
-                   + jnp.dot(b, gb, precision=jax.lax.Precision.HIGHEST))
-            sse = jnp.maximum(sse, 0.0)  # exact-fit numerical floor
+            sse = sse_min + n_f * da * da + jnp.dot(u, u)
             lp += -0.5 * n_f * (_LOG_2PI_T + 2.0 * log_sigma) \
                 - 0.5 * sse / (sigma * sigma)
             return -lp

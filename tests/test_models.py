@@ -70,15 +70,41 @@ def test_diamonds_value():
 
 def test_diamonds_suff_stats_matches_dense():
     """The sufficient-statistic likelihood (default) is algebraically
-    identical to the dense O(N·Kc) evaluation; verify both absolute
-    values and — more importantly — potential DIFFERENCES between
-    nearby points (what MH acceptance consumes) across the
-    posterior-typical region and mild tails."""
+    identical to the dense O(N*Kc) evaluation.  Both f32 paths are
+    checked against an f64 dense truth: tight in the posterior-typical
+    region (what MH acceptance consumes), loose at wide excursions
+    (PE differences there are ~1e2-1e5, accept probs 0 either way).
+    The last block is the round-4 regression guard: the f32 potential
+    GRADIENT error at the gold mean, mapped through the gold posterior
+    covariance, must predict a negligible posterior-mean shift — the
+    textbook ycTyc - 2bTXcTyc + bTGb expansion failed exactly this
+    (cancellation at cond(G)~3.4e5 shifted the collinear b means by
+    ~0.08 gold-sd; w_eval rmse 0.0447 vs reference 0.0157)."""
     t_ss = models.diamonds(suff_stats=True)
     t_dn = models.diamonds(suff_stats=False)
+
+    # f64 dense truth (numpy; no global jax x64 flip)
+    d = models.data.diamonds()
+    X = np.asarray(d["X"], np.float64)
+    Y = np.asarray(d["Y"], np.float64)
+    Kc = X.shape[1] - 1
+    Xc = X[:, 1:] - X[:, 1:].mean(0, keepdims=True)
+    N = len(Y)
+
+    def pot64(x):
+        x = np.asarray(x, np.float64)
+        a, b, ls = x[0], x[1:1 + Kc], x[1 + Kc]
+        sig = np.exp(ls)
+        z = (a - 8.0) / 10.0
+        lp = -2.0 * np.log1p(z * z / 3.0)        # student-t(3,8,10) kernel
+        lp += -0.5 * np.sum(b * b)               # N(0,1) kernel
+        zs = sig / 10.0
+        lp += -2.0 * np.log1p(zs * zs / 3.0) + ls  # folded-t kernel + jac
+        r = Y - (a + Xc @ b)
+        lp += -N * ls - 0.5 * np.sum(r * r) / (sig * sig)
+        return -lp  # up to x-independent constants
+
     rng = np.random.default_rng(7)
-    # posterior-typical-ish points: Intercept near 8, b small, log_sigma
-    # negative-ish; plus wider excursions
     base = np.zeros(t_ss.dim, np.float32)
     base[0] = 8.0
     base[-1] = -1.5
@@ -86,18 +112,61 @@ def test_diamonds_suff_stats_matches_dense():
         [rng.standard_normal((64, t_ss.dim)) * 0.1,
          rng.standard_normal((64, t_ss.dim)) * 2.0]
     ).astype(np.float32)
-    pe_ss = jax.vmap(t_ss.potential_fn)(jnp.asarray(pts))
-    pe_dn = jax.vmap(t_dn.potential_fn)(jnp.asarray(pts))
-    # absolute agreement (PE magnitudes reach ~1e5 in the tails; the two
-    # summation orders legitimately differ at f32 rounding)
-    np.testing.assert_allclose(
-        np.asarray(pe_ss), np.asarray(pe_dn), rtol=2e-5, atol=2e-2
-    )
-    # pairwise differences at the typical scale must agree much tighter
-    d_ss = np.asarray(pe_ss[:64] - pe_ss[32:96])
-    d_dn = np.asarray(pe_dn[:64] - pe_dn[32:96])
-    np.testing.assert_allclose(d_ss, d_dn, rtol=1e-3, atol=5e-2)
-    # gradients agree too (NUTS path)
+    pe_ss = np.asarray(jax.vmap(t_ss.potential_fn)(jnp.asarray(pts)),
+                       np.float64)
+    pe_dn = np.asarray(jax.vmap(t_dn.potential_fn)(jnp.asarray(pts)),
+                       np.float64)
+    # pairwise differences vs f64 truth (constants cancel in differences).
+    # NB the *0.1 cloud is 0.1 ABSOLUTE per dim — up to ~100 posterior sd
+    # along the stiff collinear directions — so it gets a loose bound;
+    # the tight bound lives on the posterior-scale cloud below.
+    pe_64 = np.array([pot64(p) for p in pts])
+    for pe, tag in ((pe_ss, "suff"), (pe_dn, "dense")):
+        d_f32 = pe[:64] - pe[32:96]
+        d_f64 = pe_64[:64] - pe_64[32:96]
+        err = np.abs(d_f32 - d_f64)
+        rel = err / np.maximum(np.abs(d_f64), 1.0)
+        assert rel[:32].max() < 1e-2, (tag, rel[:32].max())
+        assert rel[32:].max() < 2e-2, (tag, rel[32:].max())
+
+    # the region the chain actually visits: gold-sd-scaled perturbations
+    # around the gold mean — differences must be f32-exact here
+    from pathlib import Path
+
+    gold = np.load(
+        Path(models.data.__file__).parent / "_gold" / "diamonds.npy"
+    ).astype(np.float64)
+    gm = gold.mean(0)
+    gsd = gold.std(0)
+    rng2 = np.random.default_rng(3)
+    pp = (gm[None, :] + rng2.standard_normal((64, t_ss.dim))
+          * gsd[None, :]).astype(np.float32)
+    pp64 = np.array([pot64(p) for p in pp])
+    for t, tag in ((t_ss, "suff"), (t_dn, "dense")):
+        pe = np.asarray(jax.vmap(t.potential_fn)(jnp.asarray(pp)),
+                        np.float64)
+        dd = (pe[:32] - pe[32:]) - (pp64[:32] - pp64[32:])
+        rel = np.abs(dd) / np.maximum(np.abs(pp64[:32] - pp64[32:]), 1.0)
+        assert rel.max() < 2e-4, (tag, rel.max())
+
+    # regression guard: f32 gradient error at the gold mean must not
+    # predict a posterior-mean shift (shift ~= -C_gold @ grad_err)
+    C = np.cov(gold.T)
+    h = 1e-5
+    g64 = np.array([
+        (pot64(gm + h * np.eye(t_ss.dim)[i])
+         - pot64(gm - h * np.eye(t_ss.dim)[i])) / (2 * h)
+        for i in range(t_ss.dim)
+    ])
+    for t, tag in ((t_ss, "suff"), (t_dn, "dense")):
+        g32 = np.asarray(
+            jax.grad(t.potential_fn)(jnp.asarray(gm, jnp.float32)),
+            np.float64,
+        )
+        shift = np.abs(C @ (g32 - g64)) / gold.std(0)
+        assert shift.max() < 5e-3, (tag, shift.max())
+
+    # gradients agree between the two f32 paths too (NUTS path)
     g_ss = jax.grad(t_ss.potential_fn)(jnp.asarray(pts[0]))
     g_dn = jax.grad(t_dn.potential_fn)(jnp.asarray(pts[0]))
     np.testing.assert_allclose(
