@@ -206,10 +206,15 @@ def main():
         "* the adaptation share is only decomposable for ARWMH: ASSS and "
         "NUTS step cost is dominated by the data-dependent max-over-"
         "chains shrinkage-trip / tree-depth count, whose window-to-window "
-        "variance exceeds the adaptation math being ablated; the ASSS "
-        "trips column (kernel.probe, same adapted start state, 500 steps) "
-        "shows the full and frozen configs pay the same trip "
-        "distribution, so full − frozen is adaptation math there too.",
+        "variance exceeds the adaptation math being ablated.  The ASSS "
+        "trips column (kernel.probe, same adapted start state, 500 "
+        "steps) explains the frozen>full anomaly: ASSS adaptation is "
+        "not just scale tuning — the moving loc keeps the "
+        "stereographic projection centered on each chain, and freezing "
+        "it lets chains drift off-center, costing ~4x more shrinkage "
+        "trips per transition.  full − frozen is therefore NOT an "
+        "adaptation-cost measurement for ASSS; the trip ratio is the "
+        "real story.",
         "* capture an xprof trace of the same programs with "
         "`AMT_PROFILE_DIR=/tmp/xprof python bench.py` (utils/profiling.py "
         "wraps jax.profiler).",
