@@ -52,7 +52,15 @@ FIG_TARGET = {"eight_schools": "eight-schools", "diamonds": "diamonds",
 
 def _gold(target_name: str):
     f = RUNS / "reference_draws" / f"{target_name}_nuts.npy"
-    return np.load(f) if f.exists() else None
+    if f.exists():
+        return np.load(f)
+    # vendored real gold draws (diamonds: the reference's checked-in
+    # PosteriorDB draws, models/_gold/) — same resolution order as
+    # experiments.evaluate.get_reference_draws
+    from adaptive_mcmc_tpu import models as _models
+
+    v = Path(_models.data.__file__).parent / "_gold" / f"{target_name}.npy"
+    return np.load(v) if v.exists() else None
 
 
 def _lr_npz(lr_target: str, kernel: str, decay: float):
