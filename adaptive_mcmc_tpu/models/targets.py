@@ -121,15 +121,20 @@ def diamonds(dataset: dict | None = None, *,
     ``suff_stats`` (default): the Gaussian likelihood depends on the data
     only through fixed sufficient statistics, so the per-evaluation cost
     drops from O(N·Kc) (a (5000, 25) matvec + residual pass streamed from
-    HBM every step) to O(Kc²) register math::
+    HBM every step) to O(Kc²) register math, evaluated in the
+    cancellation-free form::
 
         SSE = ‖Y − a·1 − Xc b‖²
-            = ycᵀyc − 2 bᵀ(Xcᵀyc) + N (a − Ȳ)² + bᵀ(XcᵀXc) b
+            = SSE_min + N (a − Ȳ)² + ‖Lᵀ(b − b̂)‖²
 
-    where yc = Y − Ȳ; the a/b cross-terms vanish because Xc and yc are
-    both centered.  Centering Y keeps fp32 cancellation safe: the
-    difference is taken against the *variance-scale* ycᵀyc, not ‖Y‖².
-    Statistics are accumulated in float64 on the host at build time.
+    with b̂ = (XcᵀXc)⁻¹Xcᵀyc, L = chol(XcᵀXc), SSE_min = ycᵀyc − b̂ᵀXcᵀyc
+    all precomputed in float64 on the host (exact: SSE is a quadratic).
+    Do NOT "simplify" back to the textbook expansion
+    ycᵀyc − 2bᵀ(Xcᵀyc) + bᵀ(XcᵀXc)b: its three ~|ycᵀyc|-sized f32 terms
+    cancel almost totally at this design (cond(XcᵀXc) ≈ 3.4e5), and the
+    surviving rounding systematically biased the collinear-coefficient
+    posterior means by ~0.08 gold-sd (round-4 regression; guarded by
+    tests/test_models.py::test_diamonds_suff_stats_matches_dense).
     """
     d = dataset or _data.diamonds()
     X = jnp.asarray(d["X"])
