@@ -231,7 +231,7 @@ def evaluate_run(
     ``exact_wasserstein_seeds`` seeds (None = all) with the selected
     solver:
 
-    * ``"auction"`` (default) — the on-device ε-auction (~6 s/seed at
+    * ``"auction"`` (default) — the on-device ε-auction (<1 s/seed at
       n=10k on a v5e chip; mean assigned cost within ε_final ≈
       range/(2e4) of optimal).  The first ``hungarian_check_seeds``
       seeds are ALSO solved with the exact host Hungarian and the two
