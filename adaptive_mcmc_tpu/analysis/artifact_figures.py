@@ -51,16 +51,17 @@ FIG_TARGET = {"eight_schools": "eight-schools", "diamonds": "diamonds",
 
 
 def _gold(target_name: str):
-    f = RUNS / "reference_draws" / f"{target_name}_nuts.npy"
-    if f.exists():
-        return np.load(f)
-    # vendored real gold draws (diamonds: the reference's checked-in
-    # PosteriorDB draws, models/_gold/) — same resolution order as
-    # experiments.evaluate.get_reference_draws
-    from adaptive_mcmc_tpu import models as _models
+    """Gold draws with get_reference_draws' resolution order: vendored
+    real gold (models/_gold/, the reference's checked-in PosteriorDB
+    draws) beats a cached self-generated NUTS run — figures must grade
+    against the same gold standard the RESULTS tables use."""
+    from adaptive_mcmc_tpu.experiments.evaluate import vendored_gold_draws
 
-    v = Path(_models.data.__file__).parent / "_gold" / f"{target_name}.npy"
-    return np.load(v) if v.exists() else None
+    g = vendored_gold_draws(target_name)
+    if g is not None:
+        return np.asarray(g)
+    f = RUNS / "reference_draws" / f"{target_name}_nuts.npy"
+    return np.load(f) if f.exists() else None
 
 
 def _lr_npz(lr_target: str, kernel: str, decay: float):

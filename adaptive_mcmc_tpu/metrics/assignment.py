@@ -203,6 +203,23 @@ def _auction_chunk(benefit, prices, col_owner, row_to_col, eps, max_rounds,
     return prices, col_owner, row_to_col
 
 
+def _block_tier(left: int, block: int, rounds_per_call: int):
+    """Block-width / per-call-round ladder shared by both host drivers.
+
+    Round cost scales with block width now that the chunk body is
+    gather-free, so match the block to the live pool: wide while everyone
+    bids, then 128, then 16 for the war endgame where 1-3 rows fight for
+    thousands of rounds at ~30 µs each.  Per-call round budgets keep each
+    device program at ~0.2-1 s so the host re-tiers as the pool drains
+    (the while cond only exits at left == 0, so an oversized wide call
+    burns ms-rounds on a nearly-drained pool)."""
+    if left > 128:
+        return block, min(64, rounds_per_call)
+    if left > 16:
+        return min(128, block), min(1_024, rounds_per_call)
+    return min(16, block), min(32_768, rounds_per_call)
+
+
 def auction_assignment(
     cost: jax.Array,
     eps_final: Optional[float] = None,
@@ -252,17 +269,6 @@ def auction_assignment(
     # n=10k production shape), so match the block to the live pool:
     # wide while everyone bids, then 128, then 16 for the war endgame
     # (measured: >80% of a cold n=10k solve is rounds with ≤4 live rows).
-    def _tier(left):
-        # per-call round budgets keep each device program ~0.2-1 s so the
-        # host re-tiers as the pool drains (the while cond only exits at
-        # left == 0, so an oversized wide call burns ms-rounds on a
-        # nearly-drained pool)
-        if left > 128:
-            return block, min(64, rounds_per_call)
-        if left > 16:
-            return min(128, block), min(1_024, rounds_per_call)
-        return min(16, block), min(32_768, rounds_per_call)
-
     while True:
         col_owner = jnp.full((m,), -1, jnp.int32)
         row_to_col = jnp.full((n,), -1, jnp.int32)
@@ -271,7 +277,7 @@ def auction_assignment(
             left = int(jnp.sum(row_to_col < 0))
             if left == 0:
                 break
-            blk, rounds = _tier(left)
+            blk, rounds = _block_tier(left, block, rounds_per_call)
             prices, col_owner, row_to_col = _auction_chunk(
                 benefit, prices, col_owner, row_to_col, eps,
                 rounds, blk,
@@ -353,16 +359,6 @@ def auction_assignment_batch(
         p0 = jnp.asarray(prices_init, jnp.float32)
         reps = -(-b // p0.shape[0])  # ceil
         prices = jnp.tile(p0, (reps, 1))[:b]
-    def _tier(left):
-        # block-width ladder (see auction_assignment): round cost scales
-        # with block now that the body is gather-free, so match the block
-        # to the live pool and let war rounds cost ~30 µs instead of ~ms
-        if left > 128:
-            return block, min(64, rounds_per_call)
-        if left > 16:
-            return min(128, block), min(1_024, rounds_per_call)
-        return min(16, block), min(32_768, rounds_per_call)
-
     while True:
         col_owner = jnp.full((b, m), -1, jnp.int32)
         row_to_col = jnp.full((b, n), -1, jnp.int32)
@@ -373,7 +369,7 @@ def auction_assignment_batch(
             left = int(jnp.max(jnp.sum(row_to_col < 0, axis=1)))
             if left == 0:
                 break
-            blk, rounds = _tier(left)
+            blk, rounds = _block_tier(left, block, rounds_per_call)
             prices, col_owner, row_to_col = _auction_chunk_batch(
                 benefit, prices, col_owner, row_to_col,
                 jnp.float32(eps), rounds, blk,

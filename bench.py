@@ -150,21 +150,22 @@ def main() -> None:
         # json.dumps would emit invalid bare NaN for a failed kernel
         return round(r, 1) if r == r else 0.0
 
+    # Sweep-measured ESS/sec per w_eval cell (VERDICT r3 #4): per-seed
+    # Geyer ESS over the reference-budget sweep divided by its warm
+    # sampling wall — quality-adjusted throughput, from the same
+    # artifacts RESULTS.md tabulates.  Loaded once for all entries.
+    try:
+        state_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "mcmc_runs", "results_state.json")
+        with open(state_path) as f:
+            _sweep_state = json.load(f)
+    except Exception:
+        _sweep_state = {}
+
     def ess_per_sec(cell):
-        """Sweep-measured ESS/sec for the matching w_eval cell (VERDICT r3
-        #4): per-seed Geyer ESS over the reference-budget sweep divided by
-        its warm sampling wall — quality-adjusted throughput, from the same
-        artifacts RESULTS.md tabulates (mcmc_runs/results_state.json)."""
-        try:
-            state_path = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "mcmc_runs", "results_state.json")
-            with open(state_path) as f:
-                entry = json.load(f).get(cell, {})
-            v = entry.get("ess_per_sec")
-            return round(float(v), 1) if v is not None else None
-        except Exception:
-            return None
+        v = _sweep_state.get(cell, {}).get("ess_per_sec")
+        return round(float(v), 1) if v is not None else None
 
     extras = [
         {"metric": "asss_eight_schools_4096chains",

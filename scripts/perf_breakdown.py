@@ -234,6 +234,7 @@ def _write_perf_section(body: str):
     + end state) that live outside the markers."""
     path = Path("PERF.md")
     block = f"{_BEGIN}\n{body}{_END}"
+    print(body, end="")
     if path.exists():
         text = path.read_text()
         if _BEGIN in text and _END in text:
@@ -242,7 +243,6 @@ def _write_perf_section(body: str):
             path.write_text(pre + block + post)
             return
     path.write_text(f"{_HEADER}\n\n{block}\n")
-    print("\n".join(lines))
 
 
 if __name__ == "__main__":
