@@ -185,7 +185,18 @@ def run_lr_decay(
 ):
     """Log-scale state-trajectory sweep (run_*_lr_decay.py): for each
     lr_decay, ONE batched run carries all seeds; saves position / PE /
-    as_change trajectories on the log grid."""
+    as_change trajectories on the log grid, plus a small committable
+    summary CSV (experiments/summaries.py) of across-seed quantiles —
+    the durable numeric evidence behind the lr-decay figures.
+
+    Skip predicates are artifact-keyed (not manifest-only): a cell is
+    complete iff its summary CSV is on disk; a surviving npz with a
+    missing summary is backfilled without re-running the sweep."""
+    from adaptive_mcmc_tpu.experiments.summaries import (
+        summary_path_for,
+        write_lr_decay_summary,
+    )
+
     target = TARGETS[target_name]()
     base = Path(out_dir) / "lr_decay" / target_name / kernel_name
     manifest = SweepManifest(base / "manifest.json")
@@ -193,7 +204,19 @@ def run_lr_decay(
     for lr_decay in lr_decays:
         tag = f"{lr_decay:.4g}"
         out_path = base / f"decay_{tag}.npz"
-        if manifest.is_done(tag) and out_path.exists():
+        summary = summary_path_for(out_path)
+        if manifest.is_done(tag) and summary.exists():
+            out_paths.append(out_path)
+            continue
+        if out_path.exists() and not summary.exists():
+            # trajectories survived but the summary didn't (pre-round-5
+            # artifact layout): derive it, don't re-run 10^n_pow steps
+            write_lr_decay_summary(
+                out_path,
+                {"target": target_name, "kernel": kernel_name,
+                 "lr_decay": tag, "n_pow": n_pow, "backfilled": True},
+            )
+            manifest.mark_done(tag)
             out_paths.append(out_path)
             continue
         kernel = build_kernel(
@@ -203,10 +226,13 @@ def run_lr_decay(
         # multi-minute programs (observed on diamonds ASSS decade-6
         # segments); ASSS steps cost ~5-10x ARWMH's, so cap tighter
         cap = 40_000 if kernel_name == "asss" else 200_000
+        t0 = time.time()
         states, _ = collect_states_logscale(
             kernel, jax.random.PRNGKey(seed0), n_pow=n_pow,
             n_chains=n_seeds, max_steps_per_call=cap,
         )
+        jax.block_until_ready(states.position)
+        wall = time.time() - t0
         base.mkdir(parents=True, exist_ok=True)
         np.savez_compressed(
             out_path,
@@ -215,8 +241,14 @@ def run_lr_decay(
             potential_energy=np.asarray(states.potential_energy),
             as_change=np.asarray(states.as_change),
         )
+        write_lr_decay_summary(
+            out_path,
+            {"target": target_name, "kernel": kernel_name,
+             "lr_decay": tag, "n_pow": n_pow,
+             "wall_seconds": f"{wall:.2f}"},
+        )
         manifest.mark_done(tag)
         if verbose:
-            print(f"[done] {out_path}")
+            print(f"[done] {out_path} ({wall:.1f}s)")
         out_paths.append(out_path)
     return out_paths
