@@ -50,6 +50,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from run_full_sweeps import FAN_OUT  # noqa: E402
 
 
+def _draws_sha1(npz_path: Path) -> str:
+    """Fingerprint of the draws an eval row grades: sha1 over the raw
+    samples bytes. Keys the eval-skip predicate to the artifact itself
+    (VERDICT r4 weak #2: a committed state-file row must not skip the
+    eval of freshly regenerated draws)."""
+    import hashlib
+
+    with np.load(npz_path, allow_pickle=False) as d:
+        a = np.ascontiguousarray(d["samples"])
+    return hashlib.sha1(a.tobytes()).hexdigest()
+
+
 def _reset(out: Path, target: str, kernel: str):
     manifest = SweepManifest(out / "w_eval" / target / "manifest.json")
     manifest._done.discard(kernel)
@@ -125,19 +137,33 @@ def main():
             entry["wall_cold"] = meta_cold["wall_seconds"]
             entry["rate"] = meta_warm["chain_iters_per_sec"]
             entry["driver"] = meta_warm["driver"]
+            entry["draws_sha1"] = _draws_sha1(npz_path)
             # draws changed: stale eval results / W checkpoints must not
             # survive a sweep re-run
             for stale in ("rmse_mean", "rmse_std", "w_mean", "w_std",
                           "mmd_mean", "mmd_std", "ess_med", "ess_min",
-                          "ess_per_sec", "eval_error"):
+                          "ess_per_sec", "eval_error", "eval_draws_sha1"):
                 entry.pop(stale, None)
             # persist walls NOW: the eval below can run tens of minutes and
             # the queue wraps each cell in `timeout` — a kill there must not
             # lose the timed passes
             state_file.write_text(json.dumps(results))
 
-        if entry.get("rmse_mean") is not None and not args.force_eval:
-            print(f"[{cell}] eval row already present; skipping", flush=True)
+        # eval skip is ARTIFACT-keyed (mirrors the npz check in have_sweep):
+        # requires the per-seed eval CSV on disk AND the row's recorded
+        # draws fingerprint to match the npz actually present — a state-file
+        # row alone (committed in git) can never silently under-audit a
+        # fresh checkout's regenerated draws.
+        eval_csv = npz_path.with_name(f"eval_{kernel}.csv")
+        have_eval = (
+            entry.get("rmse_mean") is not None
+            and eval_csv.exists()
+            and npz_path.exists()
+            and entry.get("eval_draws_sha1") == _draws_sha1(npz_path)
+        )
+        if have_eval and not args.force_eval:
+            print(f"[{cell}] eval artifacts on disk and fingerprint-matched;"
+                  " skipping", flush=True)
             continue
         if not args.skip_eval:
             ref = get_reference_draws(
@@ -170,6 +196,9 @@ def main():
                 state_file.write_text(json.dumps(results))
                 continue
             entry.pop("eval_error", None)
+            entry["eval_draws_sha1"] = (
+                entry.get("draws_sha1") or _draws_sha1(npz_path)
+            )
             # ESS/sec: median-dim ESS delivered by the whole 100-seed
             # sweep per second of warm sampling wall (VERDICT r3 #4)
             wall = entry.get("wall") or float("nan")
