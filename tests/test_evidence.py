@@ -36,6 +36,29 @@ REF_RMSE = {
     "diamonds|nuts": 0.0106,
 }
 
+# full BASELINE.md quality rows: (w_mean, w_std, mmd_mean, mmd_std) —
+# the README "matches or beats" claim covers W and MMD too, not just rmse
+REF_W_MMD = {
+    "eight_schools|arwmh": (1.6865, 0.0028, 0.0157, 0.0011),
+    "eight_schools|asss":  (1.7009, 0.0033, 0.0148, 0.0009),
+    "eight_schools|nuts":  (1.6992, 0.0026, 0.0143, 0.0008),
+    "diamonds|arwmh":      (0.1231, 0.0013, 0.0331, 0.0035),
+    "diamonds|asss":       (0.1216, 0.0008, 0.0140, 0.0015),
+    "diamonds|nuts":       (0.1218, 0.0009, 0.0142, 0.0016),
+}
+
+# README headline wall bars: each full 100-seed sweep's warm wall must
+# beat the reference's own SINGLE-run wall (BASELINE.md:14-16 for
+# eight-schools; kidiq/diamonds single-run walls from the reference
+# notebooks' recorded outputs)
+REF_SINGLE_RUN_WALL = {
+    "eight_schools|arwmh": 9.87,
+    "eight_schools|asss": 6.48,
+    "eight_schools|nuts": 10.6,
+    "kidiq|asss": 16.0,
+    "diamonds|asss": 25 * 60.0,
+}
+
 
 @pytest.fixture(scope="module")
 def state():
@@ -62,6 +85,48 @@ def test_quality_rows_at_or_better_than_reference(state):
         assert got <= ref + slack, (cell, got, ref)
 
 
+def test_w_mmd_at_or_better_than_reference(state):
+    # at-or-better protocol for the W/MMD columns: both sides are means of
+    # noisy per-seed statistics, so the band is ref + half the COMBINED
+    # across-seed scales (W additionally carries a finite-gold bias floor
+    # shared by both sides)
+    for cell, (w_ref, w_refstd, m_ref, m_refstd) in REF_W_MMD.items():
+        w = state[cell]["w_mean"]
+        assert w <= w_ref + 0.5 * (state[cell]["w_std"] + w_refstd), (
+            cell, "W", w, w_ref)
+        m = state[cell]["mmd_mean"]
+        assert m <= m_ref + 0.5 * (state[cell]["mmd_std"] + m_refstd), (
+            cell, "MMD", m, m_ref)
+
+
+def test_warm_walls_beat_reference_single_run(state):
+    # README headline: whole 100-seed sweeps run faster than ONE reference
+    # run. Any driver regression that pushes a warm wall past the
+    # reference's single-run wall must turn this red.
+    for cell, bar in REF_SINGLE_RUN_WALL.items():
+        wall = state[cell]["wall"]
+        assert wall < bar, (cell, wall, bar)
+
+
+def test_diamonds_matches_or_beats_every_metric(state):
+    # README: diamonds (the real posterior via sufficient-stat
+    # reconstruction) matches-or-beats the reference on every metric of
+    # every kernel, strictly better on >= 8 of the 9 entries (NUTS W is a
+    # statistical tie: 0.1219 vs 0.1218 at sigma~0.0008)
+    strict_wins = 0
+    for kernel in ("arwmh", "asss", "nuts"):
+        cell = f"diamonds|{kernel}"
+        ref = (REF_RMSE[cell],) + REF_W_MMD[cell][::2]  # (rmse, W, mmd)
+        got = tuple(state[cell][f] for f in ("rmse_mean", "w_mean",
+                                             "mmd_mean"))
+        stds = tuple(state[cell][f] for f in ("rmse_std", "w_std",
+                                              "mmd_std"))
+        for g, r, s in zip(got, ref, stds):
+            assert g <= r + 0.5 * s, (cell, g, r)
+            strict_wins += g < r
+    assert strict_wins >= 8, strict_wins
+
+
 def test_kidiq_cross_kernel_ordering(state):
     w = {k: state[f"kidiq|{k}"]["w_mean"] for k in ("arwmh", "asss", "nuts")}
     assert w["asss"] < w["arwmh"] < w["nuts"], w
@@ -81,3 +146,75 @@ def test_eval_csvs_complete(state):
         assert csv.exists(), csv
         lines = csv.read_text().strip().splitlines()
         assert len(lines) == 101, (csv, len(lines))  # header + 100 seeds
+
+
+# ---------------------------------------------------------------------------
+# lr_decay family: committed per-cell summary CSVs (VERDICT r4 missing #2).
+# The reference's product is per-seed state trajectories
+# (run_diamonds_lr_decay.py:67-68 via utils/kernel_utils.py:20-38) that its
+# notebooks reduce to adaptation-drift plots; here the multi-GB npz are
+# gitignored but experiments/summaries.py commits per-log-grid-point
+# across-seed quantiles, and these tests assert the diminishing-adaptation
+# claims from those numbers — so a trajectory-tree wipe can no longer make
+# the 18-cell family unverifiable.
+
+LR_TARGETS = ("eight_schools_centered", "diamonds", "kidiq")
+LR_KERNELS = ("arwmh", "asss")
+LR_DECAYS = ("1", "0.6667", "0.5")
+
+
+def _lr_summaries():
+    from adaptive_mcmc_tpu.experiments.summaries import read_lr_decay_summary
+
+    base = REPO / "mcmc_runs" / "lr_decay"
+    if not base.exists():
+        pytest.skip("no lr_decay evidence snapshot in this checkout")
+    out = {}
+    for t in LR_TARGETS:
+        for k in LR_KERNELS:
+            for d in LR_DECAYS:
+                p = base / t / k / f"summary_{d}.csv"
+                assert p.exists(), f"missing lr_decay summary {p}"
+                out[(t, k, d)] = read_lr_decay_summary(p)
+    return out
+
+
+@pytest.fixture(scope="module")
+def lr_summaries():
+    return _lr_summaries()
+
+
+def test_lr_decay_all_18_cells_committed(lr_summaries):
+    assert len(lr_summaries) == 18
+    for (t, k, d), (meta, cols) in lr_summaries.items():
+        assert int(meta["n_seeds"]) == 100, (t, k, d, meta)
+        assert meta["n_pow"] == "6", (t, k, d, meta)
+        i = cols["i"]
+        assert i[-1] >= 10**6 - 1, (t, k, d, i[-1])
+        assert np.all(np.isfinite(cols["as_change_mean"])), (t, k, d)
+        assert np.all(np.isfinite(cols["pe_mean"])), (t, k, d)
+
+
+def test_lr_decay_diminishing_adaptation(lr_summaries):
+    # the adaptation step gamma_n = n^-decay drives as_change -> 0; with
+    # four decades between the early [10, 100] and late [1e5, 1e6] windows,
+    # even the slowest decay (1/2) must fall by >= (1e4)^(1/2) = 100x.
+    for (t, k, d), (_, cols) in lr_summaries.items():
+        i, ac = cols["i"], cols["as_change_mean"]
+        early = ac[(i >= 10) & (i <= 100)].mean()
+        late = ac[i >= 10**5].mean()
+        assert late < early / 100.0, (t, k, d, early, late)
+
+
+def test_lr_decay_cross_decay_ordering(lr_summaries):
+    # at the tail, slower decay exponents leave MORE residual adaptation:
+    # median over the last decade must be ordered 0.5 > 0.6667 > 1 within
+    # every (target, kernel) cell
+    for t in LR_TARGETS:
+        for k in LR_KERNELS:
+            tails = {}
+            for d in LR_DECAYS:
+                _, cols = lr_summaries[(t, k, d)]
+                i, ac = cols["i"], cols["as_change_q50"]
+                tails[d] = float(np.median(ac[i >= 10**5]))
+            assert tails["0.5"] > tails["0.6667"] > tails["1"], (t, k, tails)
