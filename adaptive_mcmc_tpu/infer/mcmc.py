@@ -221,6 +221,7 @@ def sample_pnx(
     *,
     n: int = 1,
     n_samples: int = 1000,
+    mesh=None,
 ) -> Array:
     """Monte-Carlo sampler of the n-step transition kernel P^n(x, ·) at a
     *frozen* adapt state — the reference's ``sample_Pnx``
@@ -232,7 +233,10 @@ def sample_pnx(
     TPU-native shape: instead of nested vmaps over an OO ``sample`` method,
     the (points × samples) grid is flattened into ONE chains axis of size
     n_points * n_samples and rolled forward with the same batched step used
-    everywhere else — so it shards over a device mesh like any other run.
+    everywhere else — so it shards over a device mesh like any other run:
+    pass ``mesh`` (a 1-D ``chains`` mesh, ``parallel.chain_mesh()``) to
+    constrain the flattened chain axis across devices (GSPMD inserts zero
+    per-step collectives; the rollout is embarrassingly chain-parallel).
     """
     n_points, d = x.shape
     C = n_points * n_samples
@@ -257,6 +261,11 @@ def sample_pnx(
         state = kernel.init(
             rng_key, n_chains=C, position=pos, adapt_state=adapt_b
         )
+        if mesh is not None:
+            from adaptive_mcmc_tpu.parallel.run import _constrain_chain_axis
+
+            state = _constrain_chain_axis(state, mesh, C)
+            adapt_b = _constrain_chain_axis(adapt_b, mesh, C)
         # Frozen-adaptation semantics of the reference (i=0, adapt_state
         # fixed every step): enforced by pinning both after each step, in
         # case the kernel has no non-adaptive rebuild path.
