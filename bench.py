@@ -90,23 +90,31 @@ def main() -> None:
     from adaptive_mcmc_tpu.utils import trace
 
     def safe(tag, fn, fallback=None):
-        """One kernel's failure (e.g. a Mosaic lowering regression in a
-        new fused path) must not cost the whole benchmark: fall back and
-        report the error on stderr."""
-        try:
-            return fn()
-        except Exception as exc:  # pragma: no cover - hardware-dependent
-            print(f"BENCH WARNING: {tag} failed ({exc!r})"
-                  + ("; retrying with fused drivers disabled"
-                     if fallback else ""),
-                  file=sys.stderr)
-            if fallback is not None:
-                try:
-                    return fallback()
-                except Exception as exc2:
-                    print(f"BENCH WARNING: {tag} fallback failed "
-                          f"({exc2!r})", file=sys.stderr)
-            return float("nan")
+        """One kernel's failure must not cost the whole benchmark.  Two
+        distinct failure modes are handled: a code regression in an
+        opt-in path (-> `fallback`, e.g. fused drivers disabled) and a
+        TRANSIENT device/tunnel outage (the axon RPC tunnel can drop for
+        a minute and every kernel would record 0.0 for the round, as
+        nearly happened 2026-08-19) -> sleep and retry the same fn."""
+        last = None
+        for attempt in range(3):
+            try:
+                return fn()
+            except Exception as exc:  # pragma: no cover - hw-dependent
+                last = exc
+                print(f"BENCH WARNING: {tag} attempt {attempt + 1} "
+                      f"failed ({exc!r})", file=sys.stderr)
+                time.sleep(20 * (attempt + 1))
+        if fallback is not None:
+            print(f"BENCH WARNING: {tag} retrying with fused drivers "
+                  f"disabled", file=sys.stderr)
+            try:
+                return fallback()
+            except Exception as exc2:
+                print(f"BENCH WARNING: {tag} fallback failed "
+                      f"({exc2!r})", file=sys.stderr)
+        print(f"BENCH WARNING: {tag} gave up ({last!r})", file=sys.stderr)
+        return float("nan")
 
     with trace(profile_dir):
         arwmh_rate = safe(
